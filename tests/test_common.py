@@ -1,0 +1,74 @@
+import os
+
+import pytest
+
+from vitcap_tpu.utils.common import (
+    Config, dict_get_path_value, dict_has_path, dict_remove_path,
+    dict_set_path_value, dict_update_nested, load_from_yaml_file,
+    parse_general_args, worth_create, write_to_yaml_file,
+)
+
+
+def test_dict_paths():
+    d = {}
+    dict_set_path_value(d, "a$b$c", 3)
+    assert d == {"a": {"b": {"c": 3}}}
+    assert dict_has_path(d, "a$b$c")
+    assert not dict_has_path(d, "a$b$d")
+    assert dict_get_path_value(d, "a$b$c") == 3
+    with pytest.raises(KeyError):
+        dict_get_path_value(d, "a$x")
+    assert dict_get_path_value(d, "a$x", with_default=True, default=7) == 7
+    dict_remove_path(d, "a$b$c")
+    assert d == {}
+
+
+def test_dict_update_nested():
+    base = {"a": {"b": 1, "c": 2}, "d": 3}
+    dict_update_nested(base, {"a": {"b": 10}, "e": 4})
+    assert base == {"a": {"b": 10, "c": 2}, "d": 3, "e": 4}
+
+
+def test_yaml_base_inheritance(tmp_path):
+    write_to_yaml_file({"x": 1, "y": {"z": 2}}, str(tmp_path / "base.yaml"))
+    write_to_yaml_file({"_base_": "base.yaml", "y": {"z": 5}, "w": 9},
+                       str(tmp_path / "child.yaml"))
+    got = load_from_yaml_file(str(tmp_path / "child.yaml"))
+    assert got == {"x": 1, "y": {"z": 5}, "w": 9}
+
+
+def test_config_layers():
+    cfg = Config({"a": 1, "nest": {"k": 2}}, {"a": 10})
+    assert cfg.a == 10
+    assert cfg.get("nest$k") == 2
+    cfg.b = 5
+    assert cfg.b == 5
+    with pytest.raises(AttributeError):
+        _ = cfg.unknown_key
+    assert cfg.get("unknown_key") is None
+
+
+def test_parse_general_args(tmp_path):
+    write_to_yaml_file({"param": {"lr": 1.0}, "type": "t"},
+                       str(tmp_path / "c.yaml"))
+    import base64
+    got = parse_general_args([
+        "-c", str(tmp_path / "c.yaml"),
+        "-p", "param: {lr: 2.0}",
+        "-bp", base64.b64encode(b"param: {bs: 8}").decode(),
+    ])
+    assert got["param"]["lr"] == 2.0
+    assert got["param"]["bs"] == 8
+    assert got["type"] == "t"
+
+
+def test_worth_create(tmp_path):
+    base = tmp_path / "base.txt"
+    derived = tmp_path / "derived.txt"
+    base.write_text("x")
+    assert worth_create(str(base), str(derived))
+    derived.write_text("y")
+    os.utime(str(derived), (os.path.getmtime(str(base)) + 10,) * 2)
+    assert not worth_create(str(base), str(derived))
+    os.utime(str(derived), (os.path.getmtime(str(base)) - 10,) * 2)
+    assert worth_create(str(base), str(derived))
