@@ -1,0 +1,111 @@
+"""Static model configuration.
+
+Mirrors the knobs that matter from the reference's BertConfig json
+(/root/reference/yaml/VILT-L12-H784-uncased_16_384/config.json) plus the
+pipeline-injected fields (tagger_caption_uni_pipeline_expanding_bertemb.py
+get_fusion_config :520-563).  A frozen dataclass so it can be a static jit
+argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    # transformer dims (shared by ViT trunk and BERT decoder)
+    hidden_size: int = 768
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 12          # ViT trunk depth
+    decoder_layers: int = 4              # BERT multimodal decoder depth
+    split_blocks: int = 4                # tag-branch fork size
+
+    # vocab / embeddings
+    vocab_size: int = 30522
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    tag_vocab_size: int = 30522          # = vocab_size for category='bert'
+
+    # image side
+    img_size: int = 384
+    patch_size: int = 16
+    in_chans: int = 3
+
+    # norms / activations
+    bert_layer_norm_eps: float = 1e-12
+    vit_layer_norm_eps: float = 1e-6
+
+    # dropout (live config: hidden 0, attention 0.1 from the json)
+    hidden_dropout_prob: float = 0.0
+    attention_probs_dropout_prob: float = 0.1
+
+    # captioning specifics
+    topk: int = 50                       # concept tokens kept
+    max_seq_len: int = 70                # caption(20) + od/tag(50) at train
+    max_seq_a_len: int = 20
+    max_gen_length: int = 20
+    max_masked_tokens: int = 3
+    label_smoothing: float = 0.1
+    sep_token_id: int = 102
+    cls_token_id: int = 101
+    pad_token_id: int = 0
+    mask_token_id: int = 103
+    tag_conf_threshold: float = 0.2      # tags with sigmoid>=0.2 counted
+
+    # losses
+    tag_loss: str = "focal"              # 'focal' | 'bce'
+    focal_alpha: float = 0.5
+    focal_gamma: float = 1.0
+    tag_loss_weight: float = 0.0         # live pipeline trains caption loss only
+                                         # (…bertemb.py:400); stale SCST pipeline
+                                         # adds tag loss (…expanding.py:401)
+
+    # wiring
+    tagemb: str = "cls"                  # tag embeddings from tied LM-head weight
+    tie_weights: bool = True
+    mask_type: str = "seq2seq"
+
+    # numerics
+    dtype: str = "float32"               # compute dtype: 'float32' | 'bfloat16'
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    @property
+    def num_visual_tokens(self) -> int:
+        return self.num_patches + 1      # + CLS
+
+    @property
+    def decoder_seq_len(self) -> int:
+        """text + tagger-CLS + visual."""
+        return self.max_seq_len + 1 + self.num_visual_tokens
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_config(**kw) -> ModelConfig:
+    """Small config for tests."""
+    base = dict(
+        hidden_size=32, num_attention_heads=4, intermediate_size=128,
+        num_hidden_layers=4, decoder_layers=2, split_blocks=2,
+        vocab_size=128, tag_vocab_size=128, max_position_embeddings=96,
+        img_size=32, patch_size=16, topk=5, max_seq_len=16, max_seq_a_len=6,
+        max_gen_length=6, attention_probs_dropout_prob=0.0,
+    )
+    base.update(kw)
+    return ModelConfig(**base)

@@ -1,0 +1,249 @@
+"""Functional transformer primitives over explicit parameter pytrees.
+
+Design: pure functions + nested-dict params (torch-state-dict-shaped for a
+mechanical checkpoint bridge).  Dense kernels are stored (in, out); the
+bridge transposes torch's (out, in).
+
+Behavioral references (math only, re-implemented):
+- ViT pre-norm block / attention: reference
+  src/pytorch_image_models/timm/models/vision_transformer.py:161-250
+- BERT post-norm layer / embeddings / pooler / LM head: reference
+  src/layers/bert/modeling_bert.py:208-563
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+NEG_MASK_VALUE = -10000.0  # reference uses (1-m)*-10000, not -inf; match exactly
+
+
+# ---------------------------------------------------------------------------
+# elementary ops
+# ---------------------------------------------------------------------------
+
+def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.dot(x, p["kernel"], preferred_element_type=x.dtype)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    # normalize in f32 for stability regardless of compute dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    # exact (erf) gelu, matching torch nn.GELU default
+    return jax.nn.gelu(x, approximate=False)
+
+
+def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array],
+            deterministic: bool) -> jnp.ndarray:
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# multi-head attention core (shared by ViT and BERT paths)
+# ---------------------------------------------------------------------------
+
+def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
+        bias: Optional[jnp.ndarray] = None,
+        dropout_rate: float = 0.0, rng: Optional[jax.Array] = None,
+        deterministic: bool = True) -> jnp.ndarray:
+    """q:(B,Lq,H) k/v:(B,Lk,H) bias:(B,1|nh,Lq,Lk) additive -> (B,Lq,H)."""
+    B, Lq, H = q.shape
+    Lk = k.shape[1]
+    hd = H // num_heads
+    qh = q.reshape(B, Lq, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (hd ** -0.5)
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    probs = dropout(probs, dropout_rate, rng, deterministic)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh,
+                     preferred_element_type=q.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(B, Lq, H)
+
+
+# ---------------------------------------------------------------------------
+# ViT (pre-norm, timm-style)
+# ---------------------------------------------------------------------------
+
+def vit_attention(p: Params, x: jnp.ndarray, num_heads: int,
+                  bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Fused-qkv attention (reference vision_transformer.py:161-210)."""
+    B, L, H = x.shape
+    qkv = dense(p["qkv"], x)               # (B, L, 3H)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    out = mha(q, k, v, num_heads, bias)
+    return dense(p["proj"], out)
+
+
+def vit_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return dense(p["fc2"], gelu(dense(p["fc1"], x)))
+
+
+def vit_block(p: Params, x: jnp.ndarray, num_heads: int, ln_eps: float,
+              bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    x = x + vit_attention(p["attn"], layer_norm(p["norm1"], x, ln_eps),
+                          num_heads, bias)
+    x = x + vit_mlp(p["mlp"], layer_norm(p["norm2"], x, ln_eps))
+    return x
+
+
+def patch_embed(p: Params, images: jnp.ndarray) -> jnp.ndarray:
+    """images (B, H, W, 3) NHWC -> patch tokens (B, N, H).
+
+    Conv stride=patch (reference PatchEmbed vision_transformer.py:253-275).
+    """
+    y = jax.lax.conv_general_dilated(
+        images, p["kernel"],
+        window_strides=p["kernel"].shape[:2],
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y + p["bias"]
+    B, gh, gw, H = y.shape
+    return y.reshape(B, gh * gw, H)
+
+
+def interpolate_pos_embed(pos_embed: jnp.ndarray, new_grid: Tuple[int, int],
+                          old_grid: Tuple[int, int]) -> jnp.ndarray:
+    """Bicubic grid-pos-embed resize keeping the CLS slot
+    (reference vision_transformer.py:416-421)."""
+    if new_grid == old_grid:
+        return pos_embed
+    cls_pe, grid_pe = pos_embed[:, :1], pos_embed[:, 1:]
+    H = pos_embed.shape[-1]
+    grid_pe = grid_pe.reshape(old_grid[0], old_grid[1], H)
+    grid_pe = jax.image.resize(grid_pe, (new_grid[0], new_grid[1], H),
+                               method="bicubic")
+    grid_pe = grid_pe.reshape(1, new_grid[0] * new_grid[1], H)
+    return jnp.concatenate([cls_pe, grid_pe], axis=1)
+
+
+def vision_embed(p: Params, images: jnp.ndarray,
+                 patch_size: int) -> jnp.ndarray:
+    """Full 'image encoder' of the reference live path: patch-embed + CLS +
+    (interpolated) pos-embed; no blocks, no norm
+    (…bertemb.py get_image_encoder_model :750-778)."""
+    tokens = patch_embed(p["patch_proj"], images)
+    B, N, H = tokens.shape
+    cls_tok = jnp.broadcast_to(p["cls_token"].astype(tokens.dtype), (B, 1, H))
+    x = jnp.concatenate([cls_tok, tokens], axis=1)
+    pe = p["pos_embed"]
+    old_n = pe.shape[1] - 1
+    if old_n != N:
+        g_old = int(old_n ** 0.5)
+        g_new = int(N ** 0.5)
+        pe = interpolate_pos_embed(pe, (g_new, g_new), (g_old, g_old))
+    return x + pe.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# BERT (post-norm)
+# ---------------------------------------------------------------------------
+
+def bert_embeddings(p: Params, input_ids: jnp.ndarray,
+                    position_ids: Optional[jnp.ndarray],
+                    token_type_ids: Optional[jnp.ndarray],
+                    ln_eps: float, dropout_rate: float = 0.0,
+                    rng: Optional[jax.Array] = None,
+                    deterministic: bool = True,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """word + position + type embeddings -> LN -> dropout
+    (reference modeling_bert.py:208-237)."""
+    B, L = input_ids.shape
+    if position_ids is None:
+        position_ids = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros_like(input_ids)
+    emb = (p["word_embeddings"][input_ids]
+           + p["position_embeddings"][position_ids]
+           + p["token_type_embeddings"][token_type_ids]).astype(dtype)
+    emb = layer_norm(p["LayerNorm"], emb, ln_eps)
+    return dropout(emb, dropout_rate, rng, deterministic)
+
+
+def bert_self_attention(p: Params, x: jnp.ndarray, bias: jnp.ndarray,
+                        num_heads: int,
+                        kv_input: Optional[jnp.ndarray] = None,
+                        attn_dropout: float = 0.0,
+                        rng: Optional[jax.Array] = None,
+                        deterministic: bool = True) -> jnp.ndarray:
+    """Separate q/k/v projections; kv_input (defaults to x) supports the
+    decode path where keys/values cover history + current tokens
+    (reference modeling_bert.py:275-343)."""
+    kv = x if kv_input is None else kv_input
+    q = dense(p["query"], x)
+    k = dense(p["key"], kv)
+    v = dense(p["value"], kv)
+    return mha(q, k, v, num_heads, bias, attn_dropout, rng, deterministic)
+
+
+def bert_layer(p: Params, x: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
+               ln_eps: float, kv_input: Optional[jnp.ndarray] = None,
+               hidden_dropout: float = 0.0, attn_dropout: float = 0.0,
+               rng: Optional[jax.Array] = None,
+               deterministic: bool = True) -> jnp.ndarray:
+    """Post-norm BERT layer (reference modeling_bert.py:422-437)."""
+    if rng is not None:
+        r1, r2, r3 = jax.random.split(rng, 3)
+    else:
+        r1 = r2 = r3 = None
+    attn = bert_self_attention(p["attention"]["self"], x, bias, num_heads,
+                               kv_input, attn_dropout, r1, deterministic)
+    attn = dense(p["attention"]["output"]["dense"], attn)
+    attn = dropout(attn, hidden_dropout, r2, deterministic)
+    x = layer_norm(p["attention"]["output"]["LayerNorm"], attn + x, ln_eps)
+    inter = gelu(dense(p["intermediate"]["dense"], x))
+    out = dense(p["output"]["dense"], inter)
+    out = dropout(out, hidden_dropout, r3, deterministic)
+    return layer_norm(p["output"]["LayerNorm"], out + x, ln_eps)
+
+
+def bert_pooler(p: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """tanh(dense(token 0)) (reference modeling_bert.py:515-527)."""
+    return jnp.tanh(dense(p["dense"], hidden[:, 0]))
+
+
+def lm_head_transform(p: Params, x: jnp.ndarray, ln_eps: float) -> jnp.ndarray:
+    """dense -> gelu -> LN (reference BertPredictionHeadTransform :530-544)."""
+    return layer_norm(p["LayerNorm"], gelu(dense(p["dense"], x)), ln_eps)
+
+
+def lm_head(p: Params, x: jnp.ndarray, ln_eps: float,
+            decoder_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """transform -> (tied or own) decoder projection + bias
+    (reference BertLMPredictionHead :547-563).
+
+    decoder_weight: (V, H) embedding-style matrix when tied; otherwise uses
+    p['decoder'] stored as jax (H, V) kernel.
+    """
+    h = lm_head_transform(p["transform"], x, ln_eps)
+    if decoder_weight is not None:
+        logits = jnp.dot(h, decoder_weight.T.astype(h.dtype),
+                         preferred_element_type=h.dtype)
+        logits = logits + p["decoder"]["bias"]
+    else:
+        logits = dense(p["decoder"], h)
+    return logits
