@@ -1,0 +1,124 @@
+"""Golden decode parity: vitcap_tpu scan-based cached decoding vs the
+reference torch generate (which re-runs the full stack every step).
+
+The tiny configs here always drive the reference into its 'infer' tag
+branch (topk_len+20 > input len, modeling_bert.py:1433), so cfg uses
+tag_attach='embedded'; train-branch ('raw') equivalence is covered by
+test_model_parity.test_score_forward_parity.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vitcap_tpu.models.config import tiny_config
+from vitcap_tpu.models import vitcap as M
+from vitcap_tpu.models import decode as D
+from vitcap_tpu.solver.checkpoint_bridge import load_params_from_torch
+
+import reference_harness as RH
+
+TCFG = tiny_config(max_seq_len=26, max_seq_a_len=6, topk=5,
+                   hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                   max_gen_length=6, tag_attach="embedded")
+OD_LEN = TCFG.max_seq_len - TCFG.max_seq_a_len   # 20
+A = TCFG.max_gen_length                          # 6
+
+
+@pytest.fixture(scope="module")
+def ref_and_params():
+    model, image_encoder, _ = RH.make_tiny_ref_vitcap(TCFG, seed=3)
+    sd = RH.combined_state_dict(model, image_encoder)
+    sd_np = {k: v.detach().numpy() for k, v in sd.items()}
+    params = M.init_params(jax.random.PRNGKey(0), TCFG)
+    params, report = load_params_from_torch(params, sd_np)
+    assert not report["shape_mismatch"] and not report["missing"]
+    return model, image_encoder, params
+
+
+def _decode_batch(rng, B=2):
+    image = rng.randn(B, TCFG.img_size, TCFG.img_size, 3).astype(np.float32)
+    od_ids = rng.randint(4, TCFG.vocab_size, size=(B, OD_LEN)).astype(np.int32)
+    n_od = np.array([OD_LEN, OD_LEN - 4], dtype=np.int32)[:B]
+    seq_len = A + n_od
+    for b in range(B):
+        od_ids[b, n_od[b]:] = 0
+    return image, od_ids, seq_len
+
+
+def _ref_generate(model, image_encoder, image, od_ids, seq_len, num_beams):
+    import torch
+    B = image.shape[0]
+    T = A + OD_LEN
+    tm = np.array(M.seq2seq_text_mask(
+        jnp.full((B,), A), jnp.asarray(seq_len),
+        TCFG.replace(max_seq_len=T, max_seq_a_len=A)))
+    V = TCFG.num_visual_tokens
+    full = np.zeros((B, T + V, T + V), dtype=np.float32)
+    full[:, :T, :T] = tm
+    full[:, :T, T:] = 1.0
+    full[:, T:, T:] = 1.0
+
+    input_ids = np.zeros((B, T), dtype=np.int64)
+    input_ids[:, A:] = od_ids
+    token_type_ids = np.zeros((B, T), dtype=np.int64)
+    token_type_ids[:, A:] = 1
+
+    with torch.no_grad():
+        img_feats = image_encoder(
+            torch.from_numpy(image.transpose(0, 3, 1, 2)))
+        out = model.generate(
+            img_feats=img_feats,
+            attention_mask=torch.from_numpy(full),
+            masked_pos=torch.zeros(B, T, dtype=torch.long),
+            token_type_ids=torch.from_numpy(token_type_ids),
+            input_ids=torch.from_numpy(input_ids),
+            is_decode=True,
+            do_sample=False,
+            bos_token_id=TCFG.cls_token_id,
+            pad_token_id=TCFG.pad_token_id,
+            eos_token_ids=[TCFG.sep_token_id],
+            mask_token_id=TCFG.mask_token_id,
+            add_od_labels=True,
+            od_labels_start_posid=TCFG.max_seq_a_len,
+            max_length=A,
+            num_beams=num_beams,
+            temperature=1.0,
+            top_k=0,
+            top_p=1.0,
+            repetition_penalty=1,
+            length_penalty=1,
+            num_return_sequences=1,
+            num_keep_best=1,
+        )
+    return out[0].numpy(), out[1].numpy()
+
+
+def _my_generate(params, image, od_ids, seq_len, num_beams):
+    opts = D.DecodeOptions(max_length=A, num_beams=num_beams,
+                           od_labels_start_posid=TCFG.max_seq_a_len)
+    tt = np.ones_like(od_ids)
+    out = D.generate(params, jnp.asarray(image), jnp.asarray(od_ids),
+                     jnp.asarray(tt), jnp.asarray(seq_len), TCFG, opts)
+    return np.array(out["ids"]), np.array(out["logprobs"])
+
+
+def test_greedy_parity(ref_and_params):
+    model, image_encoder, params = ref_and_params
+    image, od_ids, seq_len = _decode_batch(np.random.RandomState(7))
+    ref_ids, ref_lp = _ref_generate(model, image_encoder, image, od_ids,
+                                    seq_len, num_beams=1)
+    my_ids, my_lp = _my_generate(params, image, od_ids, seq_len, num_beams=1)
+    np.testing.assert_array_equal(my_ids, ref_ids)
+    np.testing.assert_allclose(my_lp, ref_lp, rtol=1e-3, atol=1e-4)
+
+
+def test_beam_parity(ref_and_params):
+    model, image_encoder, params = ref_and_params
+    image, od_ids, seq_len = _decode_batch(np.random.RandomState(11))
+    ref_ids, ref_lp = _ref_generate(model, image_encoder, image, od_ids,
+                                    seq_len, num_beams=3)
+    my_ids, my_lp = _my_generate(params, image, od_ids, seq_len, num_beams=3)
+    np.testing.assert_array_equal(my_ids, ref_ids)
+    np.testing.assert_allclose(my_lp, ref_lp, rtol=1e-3, atol=1e-4)

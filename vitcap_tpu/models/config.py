@@ -69,6 +69,13 @@ class ModelConfig:
     tagemb: str = "cls"                  # tag embeddings from tied LM-head weight
     tie_weights: bool = True
     mask_type: str = "seq2seq"
+    # concept injection at decode: 'raw' = train-branch semantics (plain
+    # tied-weight lookup, modeling_bert.py:1437-1470 — the path real-scale
+    # eval takes); 'embedded' = infer-branch semantics (+pos/type emb + LN,
+    # encode_tag_to_embedding :1381-1406)
+    tag_attach: str = "raw"
+    tag_pos_offset: int = 20             # hard-coded caption_len=20 in the
+                                         # reference encode_tag_to_embedding
 
     # numerics
     dtype: str = "float32"               # compute dtype: 'float32' | 'bfloat16'

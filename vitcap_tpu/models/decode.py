@@ -1,0 +1,546 @@
+"""Autoregressive caption decoding: greedy / sampling / beam search.
+
+TPU-first redesign of the reference generation engine
+(/root/reference/src/layers/bert/modeling_bert.py:825-1059 generate +
+prepare_inputs_for_generation; modeling_utils.py:768-886 no-beam, :888-1101
+beam, :1103-1136 top-k/top-p, :1138-1181 BeamHypotheses).
+
+The reference's live path has NO working KV cache: `_do_output_past` is
+false for ViTCAP, so every step re-enters the full vision stack and runs the
+fusion decoder over the whole (cur_len+1+od_len+1+visual) sequence.  Here:
+
+- the vision trunk + tag head run ONCE per image (`build_decode_context`);
+- the fusion decoder's static context — od/tag text slots, tagger-CLS, visual
+  tokens — is prefilled ONCE into per-layer K/V caches (valid because the
+  reference mask never lets context tokens attend caption tokens);
+- each decode step runs the 4 decoder layers over a 2-token window
+  [prev_token@t-1, MASK@t] (the reference's MASK-peek scheme: logits for
+  position t are read at a MASK probe that attends generated tokens < t,
+  itself, and the context), writing prev's K/V into a small per-beam caption
+  cache.  All steps are one `lax.scan` with static shapes.
+- the context cache is stored once per IMAGE and shared across beams /
+  return-sequences (reference duplicates it per beam); only the tiny caption
+  cache is gathered on beam reorder.
+
+Everything jits; data-dependent early exit is replaced by masked bookkeeping
+(identical results — finished rows write PAD exactly like the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig
+from .layers import NEG_MASK_VALUE, dense, layer_norm, lm_head
+from . import vitcap as M
+
+Params = Dict[str, Any]
+
+NEG_INF = -1e9  # beam bookkeeping sentinel (reference uses -1e9 / -1e5)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeOptions:
+    """Mirrors the reference `test_extra_input` dict
+    (…bertemb.py:588-607)."""
+    max_length: int = 20
+    num_beams: int = 1
+    num_keep_best: int = 1
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 1.0
+    length_penalty: float = 1.0
+    num_return_sequences: int = 1
+    od_labels_start_posid: int = 20
+
+
+# ---------------------------------------------------------------------------
+# context build + prefill
+# ---------------------------------------------------------------------------
+
+def _tag_embeddings(params: Params, pred_topk: jnp.ndarray, cfg: ModelConfig
+                    ) -> jnp.ndarray:
+    """Concept-token embeddings injected into the od/tag slots.
+
+    tag_attach='raw': train-branch semantics — plain tied-weight lookup, no
+    pos/type/LN (reference modeling_bert.py:1437-1470).
+    tag_attach='embedded': infer-branch semantics — lookup + position ids
+    starting at the hard-coded caption_len=20 + type-0 + LayerNorm
+    (encode_tag_to_embedding modeling_bert.py:1381-1406).
+    """
+    w = M.word_embedding_weight(params)
+    emb = w[pred_topk]
+    if cfg.tag_attach == "embedded":
+        p = params["embeddings"]
+        topk = pred_topk.shape[1]
+        pos = jnp.arange(topk) + cfg.tag_pos_offset
+        emb = (emb + p["position_embeddings"][pos][None]
+               + p["token_type_embeddings"][0][None, None])
+        emb = layer_norm(p["LayerNorm"], emb.astype(cfg.compute_dtype),
+                         cfg.bert_layer_norm_eps)
+    return emb.astype(cfg.compute_dtype)
+
+
+def build_decode_context(params: Params, images: jnp.ndarray,
+                         od_ids: jnp.ndarray,
+                         od_token_type_ids: Optional[jnp.ndarray],
+                         seq_len: jnp.ndarray, cfg: ModelConfig,
+                         opts: DecodeOptions) -> Dict[str, Any]:
+    """Vision + tag selection + decoder-layer K/V prefill over the static
+    context [od/tag slots, tagCLS, visual].
+
+    od_ids: (B, od_len) od-label token ids (tail slots are overwritten by
+      predicted concept embeddings, like the reference).
+    od_token_type_ids: (B, od_len) or None (defaults to 1, the tensorizer's
+      text_b segment id).
+    seq_len: (B,) total valid text length (max_seq_a + n_valid_od) governing
+      which od slots are attendable (tensorizer mask semantics).
+    """
+    B, od_len = od_ids.shape
+    dtype = cfg.compute_dtype
+    enc = M.encode_images(params, images, cfg)
+
+    # od/tag text slots: positions start at max(od_labels_start_posid,
+    # max_length) (reference generate :958)
+    pos0 = max(opts.od_labels_start_posid, opts.max_length)
+    pos = jnp.broadcast_to(jnp.arange(od_len)[None] + pos0, (B, od_len))
+    if od_token_type_ids is None:
+        od_token_type_ids = jnp.ones_like(od_ids)
+    from .layers import bert_embeddings
+    od_emb = bert_embeddings(params["embeddings"], od_ids, pos,
+                             od_token_type_ids, cfg.bert_layer_norm_eps,
+                             dtype=dtype)
+    topk = cfg.topk
+    assert topk <= od_len, "concept slots must fit in the od region"
+    tag_emb = _tag_embeddings(params, enc["pred_topk"], cfg)
+    od_emb = od_emb.at[:, -topk:].set(tag_emb)
+
+    ctx = jnp.concatenate(
+        [od_emb, enc["tag_cls"].astype(dtype), enc["visual"].astype(dtype)],
+        axis=1)                                     # (B, S_ctx, H)
+    S_ctx = ctx.shape[1]
+
+    # validity of od slots against caption-region queries AND od-region
+    # queries; tagCLS+visual always attendable
+    od_j = jnp.arange(od_len)[None] + opts.max_length  # position in text space
+    od_valid = (od_j < seq_len[:, None])               # (B, od_len)
+    ctx_valid = jnp.concatenate(
+        [od_valid, jnp.ones((B, S_ctx - od_len), bool)], axis=1)  # (B, S_ctx)
+
+    # prefill mask: od rows attend valid od + tagCLS+visual; tagCLS/visual
+    # rows attend only tagCLS+visual (reference mask: visual never sees text)
+    is_od_row = jnp.arange(S_ctx) < od_len            # (S_ctx,)
+    allow = jnp.where(
+        is_od_row[None, :, None],
+        ctx_valid[:, None, :],                                 # od rows
+        (~is_od_row)[None, None, :] & jnp.ones((B, 1, 1), bool))
+    bias = jnp.where(allow, 0.0, NEG_MASK_VALUE)[:, None]  # (B,1,S,S)
+
+    ctx_k: List[jnp.ndarray] = []
+    ctx_v: List[jnp.ndarray] = []
+    x = ctx
+    for layer in params["decoder"]["layer"]:
+        ps = layer["attention"]["self"]
+        ctx_k.append(dense(ps["key"], x))
+        ctx_v.append(dense(ps["value"], x))
+        x = _bert_layer_full(layer, x, bias, cfg)
+    return {
+        "ctx_k": ctx_k, "ctx_v": ctx_v,        # per decoder layer (B,S_ctx,H)
+        "ctx_valid": ctx_valid,                # (B, S_ctx)
+        "tag_logits": enc["tag_logits"],
+        "pred_topk": enc["pred_topk"],
+    }
+
+
+def _bert_layer_full(layer: Params, x: jnp.ndarray, bias: jnp.ndarray,
+                     cfg: ModelConfig) -> jnp.ndarray:
+    from .layers import bert_layer
+    return bert_layer(layer, x, bias, cfg.num_attention_heads,
+                      cfg.bert_layer_norm_eps)
+
+
+# ---------------------------------------------------------------------------
+# cached decode step
+# ---------------------------------------------------------------------------
+
+def _decode_attention(ps: Params, x_win: jnp.ndarray,
+                      cap_k: jnp.ndarray, cap_v: jnp.ndarray,
+                      ctx_k: jnp.ndarray, ctx_v: jnp.ndarray,
+                      ctx_valid: jnp.ndarray, t: jnp.ndarray,
+                      num_heads: int
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Window [prev@t-1, MASK@t] attention against (caption cache + self +
+    shared context cache).  cap_* are per-beam (Bb, A, H); ctx_* per-image
+    (B, S, H) broadcast over Bb//B beams.  Returns (out, cap_k, cap_v)."""
+    Bb, W, H = x_win.shape
+    B = ctx_k.shape[0]
+    nb = Bb // B
+    hd = H // num_heads
+    A = cap_k.shape[1]
+    S = ctx_k.shape[1]
+
+    q = dense(ps["query"], x_win)
+    k_win = dense(ps["key"], x_win)
+    v_win = dense(ps["value"], x_win)
+    cap_k = jax.lax.dynamic_update_slice_in_dim(
+        cap_k, k_win[:, :1], t - 1, axis=1)  # write prev slot
+    cap_v = jax.lax.dynamic_update_slice_in_dim(
+        cap_v, v_win[:, :1], t - 1, axis=1)
+
+    def heads(a, L):
+        return a.reshape(a.shape[0], L, num_heads, hd).transpose(0, 2, 1, 3)
+
+    qh = heads(q, W)                                   # (Bb,h,W,d)
+    s_cap = jnp.einsum("bhqd,bhkd->bhqk", qh, heads(cap_k, A),
+                       preferred_element_type=jnp.float32)
+    s_self = jnp.einsum("bhqd,bhd->bhq", qh, heads(k_win, W)[:, :, 1],
+                        preferred_element_type=jnp.float32)[..., None]
+    q4 = qh.reshape(B, nb, num_heads, W, hd)
+    s_ctx = jnp.einsum("bnhqd,bhkd->bnhqk", q4, heads(ctx_k, S),
+                       preferred_element_type=jnp.float32)
+    s_ctx = s_ctx.reshape(Bb, num_heads, W, S)
+
+    scale = hd ** -0.5
+    # masks: both rows attend cap slots <= t-1; only the MASK row attends
+    # its own K/V; context per od validity
+    cap_allow = (jnp.arange(A)[None, None, None] <= (t - 1))  # (1,1,1,A)
+    s_cap = jnp.where(cap_allow, s_cap * scale, NEG_MASK_VALUE)
+    self_allow = jnp.array([False, True])[None, None, :, None]
+    s_self = jnp.where(self_allow, s_self * scale, NEG_MASK_VALUE)
+    ctx_allow = jnp.repeat(ctx_valid, nb, axis=0)[:, None, None, :]
+    s_ctx = jnp.where(ctx_allow, s_ctx * scale, NEG_MASK_VALUE)
+
+    scores = jnp.concatenate([s_cap, s_self, s_ctx], axis=-1)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x_win.dtype)
+    p_cap, p_self, p_ctx = jnp.split(probs, [A, A + 1], axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p_cap, heads(cap_v, A),
+                     preferred_element_type=x_win.dtype)
+    out += p_self * heads(v_win, W)[:, :, 1:2]
+    o_ctx = jnp.einsum("bnhqk,bhkd->bnhqd",
+                       p_ctx.reshape(B, nb, num_heads, W, S),
+                       heads(ctx_v, S), preferred_element_type=x_win.dtype)
+    out += o_ctx.reshape(Bb, num_heads, W, hd)
+    out = out.transpose(0, 2, 1, 3).reshape(Bb, W, H)
+    return out, cap_k, cap_v
+
+
+def _decode_layer(layer: Params, x_win: jnp.ndarray, cap_k, cap_v,
+                  ctx_k, ctx_v, ctx_valid, t, cfg: ModelConfig):
+    from .layers import gelu
+    attn, cap_k, cap_v = _decode_attention(
+        layer["attention"]["self"], x_win, cap_k, cap_v, ctx_k, ctx_v,
+        ctx_valid, t, cfg.num_attention_heads)
+    attn = dense(layer["attention"]["output"]["dense"], attn)
+    x = layer_norm(layer["attention"]["output"]["LayerNorm"], attn + x_win,
+                   cfg.bert_layer_norm_eps)
+    inter = gelu(dense(layer["intermediate"]["dense"], x))
+    out = dense(layer["output"]["dense"], inter)
+    x = layer_norm(layer["output"]["LayerNorm"], out + x,
+                   cfg.bert_layer_norm_eps)
+    return x, cap_k, cap_v
+
+
+def _window_embeddings(params: Params, prev_tok: jnp.ndarray,
+                       t: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Embeddings for [prev@t-1, MASK@t]; caption slots are segment 0
+    positions t-1, t."""
+    p = params["embeddings"]
+    ids = jnp.stack([prev_tok,
+                     jnp.full_like(prev_tok, cfg.mask_token_id)], axis=1)
+    pos = jnp.stack([jnp.full_like(prev_tok, 0) + t - 1,
+                     jnp.full_like(prev_tok, 0) + t], axis=1)
+    emb = (p["word_embeddings"][ids]
+           + p["position_embeddings"][pos]
+           + p["token_type_embeddings"][jnp.zeros_like(ids)])
+    return layer_norm(p["LayerNorm"], emb.astype(cfg.compute_dtype),
+                      cfg.bert_layer_norm_eps)
+
+
+def decode_step(params: Params, cap_k: List[jnp.ndarray],
+                cap_v: List[jnp.ndarray], ctx: Dict[str, Any],
+                prev_tok: jnp.ndarray, t: jnp.ndarray, cfg: ModelConfig
+                ) -> Tuple[jnp.ndarray, List[jnp.ndarray], List[jnp.ndarray]]:
+    """One MASK-probe step: returns (logits (Bb,V), new caches)."""
+    x = _window_embeddings(params, prev_tok, t, cfg)
+    n_k, n_v = [], []
+    for li, layer in enumerate(params["decoder"]["layer"]):
+        x, k, v = _decode_layer(layer, x, cap_k[li], cap_v[li],
+                                ctx["ctx_k"][li], ctx["ctx_v"][li],
+                                ctx["ctx_valid"], t, cfg)
+        n_k.append(k)
+        n_v.append(v)
+    logits = M.caption_logits(params, x[:, 1], cfg)
+    return logits.astype(jnp.float32), n_k, n_v
+
+
+def _init_caps(B: int, n_layers: int, A: int, H: int, dtype
+               ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    z = [jnp.zeros((B, A, H), dtype) for _ in range(n_layers)]
+    return z, [jnp.zeros((B, A, H), dtype) for _ in range(n_layers)]
+
+
+# ---------------------------------------------------------------------------
+# sampling filter (reference modeling_utils.py:1103-1136)
+# ---------------------------------------------------------------------------
+
+def top_k_top_p_filtering(logits: jnp.ndarray, top_k: int = 0,
+                          top_p: float = 1.0,
+                          min_tokens_to_keep: int = 1) -> jnp.ndarray:
+    V = logits.shape[-1]
+    if top_k > 0:
+        k = max(top_k, min_tokens_to_keep)
+        kth = jnp.sort(logits, axis=-1)[..., V - k][..., None]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+    if top_p < 1.0:
+        sort_idx = jnp.argsort(-logits, axis=-1)
+        sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+        cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+        remove = cum > top_p
+        remove = jnp.concatenate(
+            [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1)
+        remove = remove.at[..., :min_tokens_to_keep].set(False)
+        scatter = jnp.zeros_like(remove).at[
+            jnp.arange(remove.shape[0])[:, None], sort_idx].set(remove)
+        logits = jnp.where(scatter, NEG_INF, logits)
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# greedy / sampling (no beam)
+# ---------------------------------------------------------------------------
+
+def generate_greedy(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
+                    od_token_type_ids: Optional[jnp.ndarray],
+                    seq_len: jnp.ndarray, cfg: ModelConfig,
+                    opts: DecodeOptions,
+                    rng: Optional[jax.Array] = None,
+                    ctx: Optional[Dict[str, Any]] = None
+                    ) -> Dict[str, jnp.ndarray]:
+    """No-beam decode (greedy or sampling), reference
+    modeling_utils.py:768-886.  Returns ids (B[,nrs],1,max_length),
+    logprobs, and per-step token logprobs (for SCST)."""
+    A = opts.max_length
+    nrs = opts.num_return_sequences
+    if ctx is None:
+        ctx = build_decode_context(params, images, od_ids, od_token_type_ids,
+                                   seq_len, cfg, opts)
+    B = ctx["ctx_k"][0].shape[0]
+    Bb = B * nrs
+    H = cfg.hidden_size
+    nL = cfg.decoder_layers
+    cap_k, cap_v = _init_caps(Bb, nL, A, H, cfg.compute_dtype)
+
+    tokens = jnp.full((Bb, A), cfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(cfg.cls_token_id)
+    unfinished = jnp.ones((Bb,), jnp.float32)
+    carry = (tokens, unfinished, jnp.zeros((Bb,)), jnp.zeros((Bb,)),
+             cap_k, cap_v,
+             rng if rng is not None else jax.random.PRNGKey(0))
+
+    def step(carry, t):
+        tokens, unfin, sum_lp, cnt, cap_k, cap_v, r = carry
+        prev = jnp.take_along_axis(tokens, (t - 1)[None, None].repeat(Bb, 0),
+                                   axis=1)[:, 0]
+        logits, cap_k, cap_v = decode_step(params, cap_k, cap_v, ctx, prev,
+                                           t, cfg)
+        if opts.do_sample:
+            r, rs = jax.random.split(r)
+            lg = logits / opts.temperature if opts.temperature != 1.0 \
+                else logits
+            lg = top_k_top_p_filtering(lg, opts.top_k, opts.top_p)
+            nxt = jax.random.categorical(rs, lg, axis=-1)
+            step_logp = jax.nn.log_softmax(lg, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+            step_logp = jax.nn.log_softmax(logits, axis=-1)
+        score = jnp.take_along_axis(step_logp, nxt[:, None], axis=1)[:, 0]
+        add = jnp.where(unfin > 0, nxt, cfg.pad_token_id).astype(jnp.int32)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, add[:, None], t, axis=1)
+        sum_lp = sum_lp + score * unfin
+        cnt = cnt + unfin
+        unfin = unfin * (add != cfg.sep_token_id).astype(jnp.float32)
+        return (tokens, unfin, sum_lp, cnt, cap_k, cap_v, r), score
+
+    (tokens, unfin, sum_lp, cnt, *_), step_scores = jax.lax.scan(
+        step, carry, jnp.arange(1, A))
+    # force EOS on unfinished at max length (reference :884-886)
+    tokens = tokens.at[:, A - 1].set(
+        jnp.where(unfin > 0, cfg.sep_token_id, tokens[:, A - 1]))
+    logprobs = sum_lp / jnp.maximum(cnt, 1.0)
+    out_ids = tokens[:, None, :]               # (Bb, 1, A)
+    out_lp = logprobs[:, None]
+    if nrs > 1:
+        out_ids = out_ids.reshape(B, nrs, A)
+        out_lp = out_lp.reshape(B, nrs)
+    return {"ids": out_ids, "logprobs": out_lp,
+            "step_scores": step_scores.T,      # (Bb, A-1)
+            "tag_logits": ctx["tag_logits"], "pred_topk": ctx["pred_topk"]}
+
+
+# ---------------------------------------------------------------------------
+# beam search
+# ---------------------------------------------------------------------------
+
+def generate_beam(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
+                  od_token_type_ids: Optional[jnp.ndarray],
+                  seq_len: jnp.ndarray, cfg: ModelConfig,
+                  opts: DecodeOptions) -> Dict[str, jnp.ndarray]:
+    """Greedy beam search with exact reference semantics
+    (modeling_utils.py:888-1101): TOPN_PER_BEAM=2 candidates per beam; EOS
+    candidates (and, at the final step, ALL candidates) go to a
+    num_keep_best-sized hypothesis store scored sum_logprob/len^penalty;
+    done batches freeze."""
+    A = opts.max_length
+    nb = opts.num_beams
+    K = opts.num_keep_best
+    lp_pow = opts.length_penalty
+    ctx = build_decode_context(params, images, od_ids, od_token_type_ids,
+                               seq_len, cfg, opts)
+    B = ctx["ctx_k"][0].shape[0]
+    Bb = B * nb
+    H = cfg.hidden_size
+    cap_k, cap_v = _init_caps(Bb, cfg.decoder_layers, A, H, cfg.compute_dtype)
+
+    tokens = jnp.full((B, nb, A), cfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, :, 0].set(cfg.cls_token_id)
+    beam_scores = jnp.full((B, nb), NEG_INF).at[:, 0].set(0.0)
+    # hypothesis store
+    hyp_scores = jnp.full((B, K), jnp.float32(NEG_INF))
+    hyp_tokens = jnp.full((B, K, A), cfg.pad_token_id, jnp.int32)
+    hyp_len = jnp.zeros((B, K), jnp.int32)
+    hyp_n = jnp.zeros((B,), jnp.int32)
+    done = jnp.zeros((B,), bool)
+
+    def add_hyps(cand_score, cand_tokens, cand_len, cand_take, store):
+        """Sequentially insert candidates (desc order) where cand_take."""
+        hs, ht, hl, hn = store
+
+        def insert(st, c):
+            hs, ht, hl, hn = st
+            s, toks, ln, take = c
+            norm = s / (ln.astype(jnp.float32) ** lp_pow)
+            worst = jnp.argmin(hs, axis=-1)
+            can = take & ((hn < K) | (norm > jnp.min(hs, axis=-1)))
+            slot = jnp.where(hn < K, hn.astype(worst.dtype), worst)
+            bidx = jnp.arange(hs.shape[0])
+            hs = jnp.where(can[:, None], hs.at[bidx, slot].set(norm), hs)
+            ht = jnp.where(can[:, None, None],
+                           ht.at[bidx, slot].set(toks), ht)
+            hl = jnp.where(can[:, None], hl.at[bidx, slot].set(ln), hl)
+            hn = jnp.where(can, jnp.minimum(hn + 1, K), hn)
+            return (hs, ht, hl, hn), None
+
+        (hs, ht, hl, hn), _ = jax.lax.scan(
+            insert, (hs, ht, hl, hn),
+            (cand_score.T, cand_tokens.transpose(1, 0, 2),
+             cand_len.T, cand_take.T))
+        return hs, ht, hl, hn
+
+    carry = (tokens, beam_scores, hyp_scores, hyp_tokens, hyp_len, hyp_n,
+             done, cap_k, cap_v)
+
+    def step(carry, t):
+        (tokens, beam_scores, hs, ht, hl, hn, done, cap_k, cap_v) = carry
+        prev = jax.lax.dynamic_index_in_dim(
+            tokens, t - 1, axis=2, keepdims=False).reshape(Bb)
+        logits, cap_k, cap_v = decode_step(params, cap_k, cap_v, ctx, prev,
+                                           t, cfg)
+        logp = jax.nn.log_softmax(logits, axis=-1)       # (Bb, V)
+        V = logp.shape[-1]
+        total = logp.reshape(B, nb, V) + beam_scores[..., None]
+        flat = total.reshape(B, nb * V)
+        n_cand = 2 * nb
+        cand_score, cand_idx = jax.lax.top_k(flat, n_cand)   # (B, 2nb) desc
+        cand_beam = cand_idx // V
+        cand_word = cand_idx % V
+
+        # done check BEFORE this step's insertions (reference order); the
+        # reference normalizes by (max_length - 1), not cur_len
+        # (BeamHypotheses.is_done modeling_utils.py:1170-1181)
+        best_possible = cand_score[:, 0] / (float(A - 1) ** lp_pow)
+        done = done | ((hn >= K) & (best_possible <= jnp.min(hs, axis=-1)))
+
+        is_eos = (cand_word == cfg.sep_token_id)
+        final = (t == A - 1)
+        goes_to_hyp = jnp.where(final, jnp.ones_like(is_eos), is_eos)
+        # reference scans candidates in order and stops once nb non-EOS are
+        # taken; EOS candidates before that cutoff get added to hyps
+        non_eos_cum = jnp.cumsum((~goes_to_hyp).astype(jnp.int32), axis=1)
+        before_cut = jnp.where(final, jnp.ones_like(is_eos),
+                               (non_eos_cum - (~goes_to_hyp)) < nb)
+        take_hyp = goes_to_hyp & before_cut & ~done[:, None]
+
+        cand_tokens = jnp.take_along_axis(
+            tokens, cand_beam[..., None], axis=1)        # (B, 2nb, A)
+        cand_len = jnp.full((B, n_cand), t, jnp.int32)   # hyp len = cur_len
+        hs, ht, hl, hn = add_hyps(cand_score, cand_tokens, cand_len,
+                                  take_hyp, (hs, ht, hl, hn))
+
+        # next beams: first nb non-hyp candidates (in order)
+        keep = (~goes_to_hyp) & before_cut
+        rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+        order = jnp.argsort(jnp.where(keep, rank, n_cand + 1), axis=1,
+                            stable=True)[:, :nb]         # indices of kept
+        new_beam = jnp.take_along_axis(cand_beam, order, axis=1)
+        new_word = jnp.take_along_axis(cand_word, order, axis=1)
+        new_score = jnp.take_along_axis(cand_score, order, axis=1)
+        n_kept = jnp.sum(keep, axis=1)
+
+        # frozen rows for done batches (scores 0/pad like the reference)
+        new_beam = jnp.where(done[:, None], 0, new_beam)
+        new_word = jnp.where(done[:, None], cfg.pad_token_id, new_word)
+        new_score = jnp.where(done[:, None], 0.0, new_score)
+        # if fewer than nb kept (only possible at final step) pad
+        pad_slot = jnp.arange(nb)[None] >= n_kept[:, None]
+        new_word = jnp.where(pad_slot, cfg.pad_token_id, new_word)
+        new_score = jnp.where(pad_slot, 0.0, new_score)
+        new_beam = jnp.where(pad_slot, 0, new_beam)
+
+        tokens = jnp.take_along_axis(tokens, new_beam[..., None], axis=1)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, new_word[..., None].astype(jnp.int32), t, axis=2)
+        beam_scores = new_score
+
+        # reorder caption caches by beam (small: (Bb, A, H))
+        flat_idx = (jnp.arange(B)[:, None] * nb + new_beam).reshape(Bb)
+        cap_k = [k[flat_idx] for k in cap_k]
+        cap_v = [v[flat_idx] for v in cap_v]
+        return (tokens, beam_scores, hs, ht, hl, hn, done, cap_k, cap_v), None
+
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(1, A))
+    (_, _, hs, ht, hl, hn, _, _, _) = carry
+
+    # final selection: top-K hyps by normalized score; append EOS
+    order = jnp.argsort(-hs, axis=-1)[:, :K]
+    sel_scores = jnp.take_along_axis(hs, order, axis=1)
+    sel_tokens = jnp.take_along_axis(ht, order[..., None], axis=1)
+    sel_len = jnp.take_along_axis(hl, order, axis=1)
+    # blank out beyond len, write EOS at len
+    posn = jnp.arange(A)[None, None]
+    sel_tokens = jnp.where(posn < sel_len[..., None], sel_tokens,
+                           cfg.pad_token_id)
+    sel_tokens = jnp.where(posn == sel_len[..., None], cfg.sep_token_id,
+                           sel_tokens)
+    empty = jnp.arange(K)[None] >= hn[:, None]
+    sel_scores = jnp.where(empty, -1e5, sel_scores)
+    return {"ids": sel_tokens, "logprobs": sel_scores,
+            "tag_logits": ctx["tag_logits"], "pred_topk": ctx["pred_topk"]}
+
+
+def generate(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
+             od_token_type_ids: Optional[jnp.ndarray],
+             seq_len: jnp.ndarray, cfg: ModelConfig, opts: DecodeOptions,
+             rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+    """Dispatch like the reference `generate` (modeling_bert.py:928-1059)."""
+    if opts.num_beams > 1:
+        return generate_beam(params, images, od_ids, od_token_type_ids,
+                             seq_len, cfg, opts)
+    return generate_greedy(params, images, od_ids, od_token_type_ids,
+                           seq_len, cfg, opts, rng)
