@@ -1,0 +1,93 @@
+"""Headline benchmark: COCO-style greedy captioning throughput, one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The reference (jacobswan1/ViTCAP) publishes no throughput numbers, so the
+baseline is an analytic estimate of its V100 decode rate: the reference
+generation loop re-runs the ENTIRE vision trunk + fusion decoder at every
+token step (SURVEY.md §3.2; modeling_utils.py:768-886 with no usable KV
+cache), i.e. ~max_gen_length forward passes per caption.  We count those
+FLOPs exactly for ViT-B/16-384 + 4-layer decoder and assume the V100
+sustains 40 TFLOP/s in fp16 (~32% of 125 TFLOP/s peak, generous for this
+workload).  vs_baseline = ours / that estimate.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _flops_reference_per_caption(cfg, od_len=50, steps=20):
+    """Decode FLOPs of the reference loop (re-encode everything per step)."""
+    H = cfg.hidden_size
+    V = cfg.num_visual_tokens          # 577
+    I = cfg.intermediate_size
+    vocab = cfg.vocab_size
+
+    def block(tokens):                  # one transformer block fwd
+        attn = 4 * tokens * H * H + 2 * tokens * tokens * H
+        mlp = 2 * tokens * H * I
+        return 2 * (attn + mlp)         # MAC->FLOP
+
+    total = 0.0
+    for t in range(1, steps):
+        text = (t + 1) + od_len
+        L = text + 1 + V
+        total += (cfg.num_hidden_layers + cfg.split_blocks) * block(V)
+        total += cfg.decoder_layers * block(L)
+        total += 2 * H * vocab * text   # LM head over text (reference does)
+        total += 2 * H * vocab          # tag head
+    return total
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from vitcap_tpu.models.config import ModelConfig
+    from vitcap_tpu.models import vitcap as M
+    from vitcap_tpu.models import decode as D
+
+    cfg = ModelConfig(dtype="bfloat16")
+    B = 32
+    OD = cfg.max_seq_len - cfg.max_seq_a_len
+    opts = D.DecodeOptions(max_length=cfg.max_gen_length,
+                           od_labels_start_posid=cfg.max_seq_a_len)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(B, cfg.img_size, cfg.img_size, 3),
+                         jnp.float32)
+    od_ids = jnp.asarray(rng.randint(999, 9000, (B, OD)), jnp.int32)
+    seq_len = jnp.full((B,), cfg.max_seq_len, jnp.int32)
+
+    @jax.jit
+    def run(params, images, od_ids, seq_len):
+        out = D.generate_greedy(params, images, od_ids, None, seq_len, cfg,
+                                opts)
+        return out["ids"], out["logprobs"]
+
+    ids, lp = run(params, images, od_ids, seq_len)   # compile
+    ids.block_until_ready()
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ids, lp = run(params, images, od_ids, seq_len)
+    ids.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    caps_per_sec = B / dt
+
+    ref_flops = _flops_reference_per_caption(cfg)
+    v100_rate = 40e12 / ref_flops        # captions/sec on V100 (estimate)
+
+    print(json.dumps({
+        "metric": "greedy captions/sec/chip (ViT-B/16-384, B=32, 20 steps)",
+        "value": round(caps_per_sec, 2),
+        "unit": "captions/s",
+        "vs_baseline": round(caps_per_sec / v100_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

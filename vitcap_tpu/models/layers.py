@@ -28,9 +28,11 @@ NEG_MASK_VALUE = -10000.0  # reference uses (1-m)*-10000, not -inf; match exactl
 # ---------------------------------------------------------------------------
 
 def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.dot(x, p["kernel"], preferred_element_type=x.dtype)
+    # params are stored f32; cast to the activation dtype so bf16 compute
+    # actually runs the MXU in bf16 instead of silently promoting to f32
+    y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=x.dtype)
     if "bias" in p:
-        y = y + p["bias"]
+        y = y + p["bias"].astype(x.dtype)
     return y
 
 
@@ -116,12 +118,12 @@ def patch_embed(p: Params, images: jnp.ndarray) -> jnp.ndarray:
     Conv stride=patch (reference PatchEmbed vision_transformer.py:253-275).
     """
     y = jax.lax.conv_general_dilated(
-        images, p["kernel"],
+        images, p["kernel"].astype(images.dtype),
         window_strides=p["kernel"].shape[:2],
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    y = y + p["bias"]
+    y = y + p["bias"].astype(images.dtype)
     B, gh, gw, H = y.shape
     return y.reshape(B, gh * gw, H)
 
