@@ -39,6 +39,19 @@ def install():
             mod.ClientError = Exception
         sys.modules.setdefault(m, mod)
 
+    if "progressbar" not in sys.modules:
+        pb = _stub_module("progressbar")
+        pb.ProgressBar = lambda *a, **k: (lambda x: x)
+        sys.modules["progressbar"] = pb
+
+    if "future" not in sys.modules:
+        fut = _stub_module("future", is_package=True)
+        utils = _stub_module("future.utils")
+        utils.viewitems = lambda d: d.items()
+        fut.utils = utils
+        sys.modules["future"] = fut
+        sys.modules["future.utils"] = utils
+
     import torch
     if "torch._six" not in sys.modules:
         six = types.ModuleType("torch._six")

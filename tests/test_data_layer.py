@@ -1,0 +1,204 @@
+"""Data layer tests: tensorizer golden parity vs the reference, synthetic
+TSV dataset -> transform chain -> loader end-to-end."""
+
+import base64
+import io
+import json
+import random
+
+import numpy as np
+import pytest
+
+import reference_harness as RH
+
+VOCAB_DIR = "/root/reference/yaml/VILT-L12-H784-uncased_16_384"
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    from vitcap_tpu.data.tokenization import BertTokenizer
+    return BertTokenizer(VOCAB_DIR + "/vocab.txt")
+
+
+@pytest.fixture(scope="module")
+def ref_tokenizer():
+    RH.install()
+    from src.layers.bert import BertTokenizer as RefTok
+    return RefTok(VOCAB_DIR + "/vocab.txt", do_lower_case=True)
+
+
+CAPTION = "A big brown dog runs across the grassy field near trees."
+
+
+def test_tensorize_ab_parity_train(tokenizer, ref_tokenizer):
+    from vitcap_tpu.data.tensorizers import CaptionTensorizer
+    from src.data_layer.dataset import CaptionTensorizer as RefTensorizer
+
+    ref = RefTensorizer(ref_tokenizer, max_img_seq_length=0,
+                        max_seq_length=70, max_seq_a_length=20,
+                        mask_prob=0.15, max_masked_tokens=3,
+                        mask_type="seq2seq", is_train=True, mask_b=False)
+    mine = CaptionTensorizer(tokenizer, max_seq_length=70,
+                             max_seq_a_length=20, mask_prob=0.15,
+                             max_masked_tokens=3, is_train=True,
+                             rng=random)
+
+    for seed in range(5):
+        random.seed(seed)
+        r = ref.tensorize_ab(CAPTION, text_b="")
+        random.seed(seed)
+        m = mine.tensorize_ab(CAPTION, text_b="")
+        np.testing.assert_array_equal(m["input_ids"],
+                                      r["origin_input_ids"].numpy() * 0
+                                      + np.asarray(
+                                          tokenizer.convert_tokens_to_ids(
+                                              ref_tokenizer.convert_ids_to_tokens(
+                                                  r["input_ids"].tolist()))))
+        np.testing.assert_array_equal(m["masked_pos"],
+                                      r["masked_pos"].numpy())
+        np.testing.assert_array_equal(m["masked_ids"],
+                                      r["masked_ids"].numpy())
+        np.testing.assert_array_equal(m["segment_ids"],
+                                      r["segment_ids"].numpy())
+        # dense mask parity
+        dm = mine.dense_text_mask(int(m["seq_a_len"]), int(m["seq_len"]))
+        np.testing.assert_array_equal(dm, r["attention_mask"].numpy())
+
+
+def test_tensorize_ab_parity_test_mode(tokenizer, ref_tokenizer):
+    from vitcap_tpu.data.tensorizers import CaptionTensorizer
+    from src.data_layer.dataset import CaptionTensorizer as RefTensorizer
+    ref = RefTensorizer(ref_tokenizer, max_img_seq_length=0,
+                        max_seq_length=70, max_seq_a_length=20,
+                        is_train=False)
+    mine = CaptionTensorizer(tokenizer, max_seq_length=70,
+                             max_seq_a_length=20, is_train=False)
+    r = ref.tensorize_ab("", text_b="", real_text_a_in_test=False)
+    m = mine.tensorize_ab("", text_b="")
+    np.testing.assert_array_equal(m["input_ids"], r["input_ids"].numpy())
+    np.testing.assert_array_equal(m["segment_ids"], r["segment_ids"].numpy())
+    assert int(m["seq_a_len"]) == 20 and int(m["seq_len"]) == 20
+
+
+def test_tagger_tensorizer_bert_mode(tokenizer):
+    from vitcap_tpu.data.tensorizers import CaptionTaggerTensorizer
+    tt = CaptionTaggerTensorizer(tokenizer, threshold=0.2, encode="bert")
+    labels = [{"class": "dog", "conf": 0.9},
+              {"class": "grass", "conf": 0.1}]     # below threshold
+    out = tt.tensorize(labels, "a dog runs")
+    lab = out["label"]
+    assert lab[tokenizer.vocab["dog"]] == 1
+    assert lab[tokenizer.vocab["grass"]] == 0
+    assert lab[tokenizer.vocab["runs"]] == 1
+    assert lab.sum() >= 3
+
+
+def _png_b64(rgb):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+@pytest.fixture(scope="module")
+def synth_dataset(tmp_path_factory):
+    """data/<name>/{train.tsv, train.hw.tsv, train.caption.tsv,
+    train.num_caption.tsv, train.label.tsv}"""
+    root = tmp_path_factory.mktemp("data")
+    from vitcap_tpu.data.tsv import tsv_writer
+    name, split = "synthcoco", "train"
+    d = root / name
+    rng = np.random.RandomState(0)
+    n = 6
+    keys = [f"img{i}" for i in range(n)]
+    tsv_writer(((k, "0", _png_b64(rng.randint(0, 255, (48, 64, 3),
+                                              dtype=np.uint8)))
+                for k in keys), str(d / f"{split}.tsv"))
+    tsv_writer(((k, json.dumps([{"height": 48, "width": 64}]))
+                for k in keys), str(d / f"{split}.hw.tsv"))
+    tsv_writer(((k, json.dumps([{"caption": f"a dog number {i}"},
+                                {"caption": f"another dog {i}"}]))
+                for i, k in enumerate(keys)), str(d / f"{split}.caption.tsv"))
+    tsv_writer(((k, "2") for k in keys),
+               str(d / f"{split}.num_caption.tsv"))
+    tsv_writer(((k, json.dumps([{"class": "dog", "conf": 0.95},
+                                {"class": "tree", "conf": 0.4}]))
+                for k in keys), str(d / f"{split}.label.tsv"))
+    return str(root), name, split
+
+
+def test_full_train_chain(synth_dataset, tokenizer):
+    root, name, split = synth_dataset
+    from vitcap_tpu.data.dataset import (
+        BatchSampler, CaptionIdxTSVDataset, Compose, DataLoader,
+        DatasetPlusTransform, DistributedSampler, IdentifyTextAB,
+        IterationBasedBatchSampler, LoadCaption, LoadHW, LoadImage,
+        LoadLabel, RemoveUselessKeys, RenameKey, TagTensorize,
+        TransCaptionTensorizer)
+    from vitcap_tpu.data.tensorizers import (
+        CaptionTaggerTensorizer, CaptionTensorizer)
+    from vitcap_tpu.data.transforms import TrainImageTransform
+
+    idx_ds = CaptionIdxTSVDataset(name, split, data_root=root)
+    assert len(idx_ds) == 12                     # 6 images x 2 captions
+
+    chain = Compose([
+        LoadHW(name, split, data_root=root),
+        LoadImage(name, split,
+                  image_transform=TrainImageTransform(crop_size=32, seed=0),
+                  data_root=root),
+        LoadCaption(name, split, data_root=root),
+        LoadLabel(name, split, data_root=root),
+        IdentifyTextAB(False, 0.2),
+        TransCaptionTensorizer(CaptionTensorizer(
+            tokenizer, max_seq_length=70, max_seq_a_length=20,
+            rng=random.Random(0))),
+        TagTensorize(CaptionTaggerTensorizer(tokenizer, encode="bert")),
+        RemoveUselessKeys(["caption", "text_a", "text_b", "height", "width",
+                           "idx", "idx_img", "idx_cap"]),
+        RenameKey({"segment_ids": "token_type_ids"}),
+    ])
+    ds = DatasetPlusTransform(idx_ds, chain)
+    sampler = DistributedSampler(ds, num_replicas=2, rank=0, shuffle=True)
+    bs = BatchSampler(sampler, batch_size=3, drop_last=True)
+    ibs = IterationBasedBatchSampler(bs, num_iterations=4)
+    loader = DataLoader(ds, ibs, num_workers=2)
+
+    batches = list(loader)
+    assert len(batches) == 4
+    b = batches[0]
+    assert b["image"].shape == (3, 32, 32, 3)
+    assert b["input_ids"].shape == (3, 70)
+    assert b["token_type_ids"].shape == (3, 70)
+    assert b["label"].shape[1] == tokenizer.vocab_size
+    assert b["masked_ids"].shape == (3, 3)
+    # text_b is empty in the live pipeline -> seq_len == seq_a_len
+    np.testing.assert_array_equal(b["seq_len"], b["seq_a_len"])
+    assert (b["label"].sum(1) >= 1).all()
+
+
+def test_image_idx_dataset(synth_dataset):
+    root, name, split = synth_dataset
+    from vitcap_tpu.data.dataset import ImageIdxTSVDataset
+    ds = ImageIdxTSVDataset(name, split, data_root=root)
+    assert len(ds) == 6
+    assert ds[2]["key"] == "img2"
+    assert ds.get_keys() == [f"img{i}" for i in range(6)]
+
+
+def test_distributed_sampler_covers_all():
+    from vitcap_tpu.data.dataset import DistributedSampler
+
+    class FakeDS:
+        def __len__(self):
+            return 10
+
+    got = []
+    for r in range(3):
+        s = DistributedSampler(FakeDS(), num_replicas=3, rank=r,
+                               shuffle=True)
+        s.set_epoch(1)
+        idx = list(s)
+        assert len(idx) == 4                      # ceil(10/3) = 4
+        got += idx
+    assert set(got) == set(range(10))             # tail duplicated, all seen

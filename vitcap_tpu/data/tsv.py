@@ -254,13 +254,24 @@ class TSVDataset:
         self._data_root = op.join(root, name)
 
     def get_data(self, split: str, t: Optional[str] = None,
-                 version: Optional[int] = None) -> str:
-        parts = [split]
-        if t is not None:
-            parts.append(t)
-        if version is not None and version != 0:
-            parts.append(f"v{version}")
-        return op.join(self._data_root, ".".join(parts) + ".tsv")
+                 version=None) -> str:
+        """Name resolution incl. string versions ('vinvl' -> .vvinvl.) and
+        version=-1 = latest (reference tsv_io.py:529-553)."""
+        if t is None:
+            version = None                 # image split has no version
+        if version is None or version in (0, "0", "None"):
+            parts = [split] + ([t] if t is not None else [])
+            return op.join(self._data_root, ".".join(parts) + ".tsv")
+        if version == -1:
+            base = self.get_data(split, t)
+            if not op.isfile(base):
+                return base
+            vs = [int(f.split(".v")[-1].split(".")[0])
+                  for f in os.listdir(self._data_root)
+                  if f.startswith(f"{split}.{t}.v") and f.endswith(".tsv")
+                  and f.split(".v")[-1].split(".")[0].isdigit()]
+            return self.get_data(split, t, max(vs)) if vs else base
+        return op.join(self._data_root, f"{split}.{t}.v{version}.tsv")
 
     def has(self, split: str, t: Optional[str] = None,
             version: Optional[int] = None) -> bool:
