@@ -68,13 +68,16 @@ def main():
         return out["ids"], out["logprobs"]
 
     ids, lp = run(params, images, od_ids, seq_len)   # compile
-    ids.block_until_ready()
+    np.array(ids)   # force full execution (block_until_ready is unreliable
+                    # over the axon tunnel; a host fetch is authoritative)
 
-    iters = 5
+    # amortize tunnel round-trip latency: dispatch K sequential runs (device
+    # stream is FIFO), fetch only the last result
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         ids, lp = run(params, images, od_ids, seq_len)
-    ids.block_until_ready()
+    np.array(ids)
     dt = (time.perf_counter() - t0) / iters
     caps_per_sec = B / dt
 

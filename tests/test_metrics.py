@@ -1,0 +1,112 @@
+"""Caption-metric tests: BLEU cross-checked against nltk, ROUGE-L/CIDEr
+hand-verified properties, PTB tokenizer behaviors."""
+
+import numpy as np
+import pytest
+
+from vitcap_tpu.evals.metrics import (
+    CiderD, bleu, cider, compute_all_metrics, meteor, rouge_l)
+from vitcap_tpu.evals.ptb import ptb_tokenize, ptb_tokenize_sentence
+
+GTS = {
+    "a": ["a dog runs across the field",
+          "the brown dog runs through a grassy field"],
+    "b": ["a man rides a bicycle down the street",
+          "the man is riding his bike on the road"],
+    "c": ["two cats are sleeping on the couch",
+          "cats sleep on a sofa"],
+}
+RES = {
+    "a": ["a dog runs across the grassy field"],
+    "b": ["a man rides a bike down the road"],
+    "c": ["two cats sleep on the couch"],
+}
+
+
+def test_bleu_matches_nltk():
+    from nltk.translate.bleu_score import corpus_bleu
+    refs = [[r.split() for r in GTS[k]] for k in GTS]
+    hyps = [RES[k][0].split() for k in GTS]
+    ours, _ = bleu(GTS, RES, 4)
+    for n in range(1, 5):
+        w = tuple([1.0 / n] * n + [0.0] * (4 - n))
+        ref_val = corpus_bleu(refs, hyps, weights=w)
+        np.testing.assert_allclose(ours[n - 1], ref_val, rtol=1e-6,
+                                   err_msg=f"BLEU-{n}")
+
+
+def test_bleu_perfect_match():
+    res = {k: [GTS[k][0]] for k in GTS}
+    s, _ = bleu(GTS, res, 4)
+    assert all(abs(x - 1.0) < 1e-9 for x in s)
+
+
+def test_rouge_hand_computed():
+    gts = {"x": ["the cat sat on the mat"]}
+    res = {"x": ["the cat on the mat"]}
+    # LCS = 5, P = 5/5 = 1, R = 5/6; beta=1.2
+    p, r, beta = 1.0, 5 / 6, 1.2
+    expected = (1 + beta ** 2) * p * r / (r + beta ** 2 * p)
+    s, _ = rouge_l(gts, res)
+    np.testing.assert_allclose(s, expected, rtol=1e-9)
+
+
+def test_cider_properties():
+    res_perfect = {k: [GTS[k][0]] for k in GTS}
+    s_perfect, per = cider(GTS, res_perfect)
+    s_ours, _ = cider(GTS, RES)
+    s_bad, _ = cider(GTS, {k: ["purple elephant xylophone"] for k in GTS})
+    assert s_bad < s_ours < s_perfect <= 10.0 + 1e-9
+    assert (per >= 0).all()
+
+
+def test_ciderd_precomputed_df(tmp_path):
+    """df pickle path (coco-train-words.p format) loads and scores."""
+    import pickle
+    from collections import defaultdict
+    from vitcap_tpu.evals.metrics import _ngram_counter
+    df = defaultdict(float)
+    for k in GTS:
+        for g in set(g for r in GTS[k] for g in _ngram_counter(r)):
+            df[g] += 1
+    p = tmp_path / "df.p"
+    with open(p, "wb") as f:
+        pickle.dump({"ref_len": len(GTS), "document_frequency": df}, f)
+    scorer = CiderD(df=str(p))
+    s, per = scorer.compute_score(GTS, RES)
+    s2, per2 = CiderD(df="corpus").compute_score(GTS, RES)
+    np.testing.assert_allclose(per, per2, rtol=1e-9)  # same df by construction
+
+
+def test_meteor_sanity():
+    gts = {"x": ["the cat sat on the mat"]}
+    s, _ = meteor(gts, {"x": ["the cat sat on the mat"]})
+    assert s > 0.95
+    s2, _ = meteor(gts, {"x": ["mat the on sat cat the"]})
+    assert s2 < s            # fragmentation penalty
+    s3, _ = meteor(gts, {"x": ["dogs run fast"]})
+    assert s3 < 0.1
+
+
+def test_meteor_stem_match():
+    s, _ = meteor({"x": ["the dog runs quickly"]},
+                  {"x": ["the dog running quick"]})
+    s_none, _ = meteor({"x": ["the dog runs quickly"]},
+                       {"x": ["a cat sleeps"]})
+    assert s > 0.4 > s_none
+
+
+def test_compute_all_metrics_keys():
+    out = compute_all_metrics(GTS, RES)
+    for k in ["Bleu_1", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"]:
+        assert k in out and 0 <= out[k] <= 10
+
+
+def test_ptb_tokenizer():
+    assert ptb_tokenize_sentence("A dog, running fast!") == \
+        ["a", "dog", "running", "fast"]
+    assert ptb_tokenize_sentence("Don't stop.") == ["do", "n't", "stop"]
+    assert ptb_tokenize_sentence("It's a man's hat.") == \
+        ["it", "'s", "a", "man", "'s", "hat"]
+    out = ptb_tokenize({"k": [{"caption": "Hello, World!"}]})
+    assert out == {"k": ["hello world"]}

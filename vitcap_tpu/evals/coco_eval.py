@@ -1,0 +1,59 @@
+"""Caption evaluation glue: prediction TSV + ground-truth -> metric report.
+
+JVM-free equivalent of the reference evaluate_on_coco_caption
+(/root/reference/src/tools/captioning/utils_caption_evaluate.py:59-137):
+converts the prediction TSV (key, json [{'caption', 'conf'}]) and the
+ground-truth caption TSV / COCO json into tokenized maps, runs the native
+scorers (evals.metrics via evals.ptb) and writes `<predict>.report` json
+with {Bleu_1..4, METEOR, ROUGE_L, CIDEr}.
+"""
+
+from __future__ import annotations
+
+import json
+import os.path as op
+from typing import Dict, List, Optional
+
+from ..data.tsv import tsv_reader
+from .metrics import compute_all_metrics
+from .ptb import ptb_tokenize
+
+
+def load_predictions(predict_tsv: str) -> Dict[str, List[dict]]:
+    res = {}
+    for row in tsv_reader(predict_tsv):
+        caps = json.loads(row[1])
+        if isinstance(caps, dict):
+            caps = [caps]
+        res[row[0]] = [{"caption": caps[0]["caption"]}]
+    return res
+
+
+def load_gt(gt_file: str) -> Dict[str, List[dict]]:
+    """Ground truth from a caption TSV (key, json list) or COCO-format
+    json."""
+    if gt_file.endswith(".json"):
+        coco = json.load(open(gt_file))
+        gts: Dict[str, List[dict]] = {}
+        for ann in coco["annotations"]:
+            gts.setdefault(str(ann["image_id"]), []).append(
+                {"caption": ann["caption"]})
+        return gts
+    return {row[0]: [{"caption": c["caption"]} for c in json.loads(row[1])]
+            for row in tsv_reader(gt_file)}
+
+
+def evaluate_on_coco_caption(predict_tsv: str, gt_file: str,
+                             outfile: Optional[str] = None) -> Dict[str, float]:
+    res = load_predictions(predict_tsv)
+    gts = load_gt(gt_file)
+    missing = set(res) - set(gts)
+    assert not missing, f"predictions for unknown keys: {sorted(missing)[:5]}"
+    gts = {k: gts[k] for k in res}
+    gts_tok = ptb_tokenize(gts)
+    res_tok = ptb_tokenize(res)
+    result = compute_all_metrics(gts_tok, res_tok)
+    outfile = outfile or op.splitext(predict_tsv)[0] + ".report"
+    with open(outfile, "w") as fp:
+        json.dump(result, fp, indent=2)
+    return result
