@@ -1,0 +1,149 @@
+"""End-to-end pipeline test: run.py surface -> train -> predict -> evaluate
+on a tiny synthetic TSV dataset with a tiny model config."""
+
+import base64
+import io
+import json
+import os.path as op
+
+import numpy as np
+import pytest
+
+VOCAB = "/root/reference/yaml/VILT-L12-H784-uncased_16_384/vocab.txt"
+
+
+def _b64(rng):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(rng.randint(0, 255, (40, 48, 3), dtype=np.uint8)).save(
+        buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    from vitcap_tpu.data.tsv import tsv_writer
+    d = root / "data" / "tinycoco"
+    rng = np.random.RandomState(0)
+    keys = [f"im{i}" for i in range(6)]
+    caps = ["a dog runs", "a cat sits", "a man walks", "a bird flies",
+            "a car drives", "a child plays"]
+    for split in ["train", "test"]:
+        tsv_writer(((k, "0", _b64(rng)) for k in keys),
+                   str(d / f"{split}.tsv"))
+        tsv_writer(((k, json.dumps([{"height": 40, "width": 48}]))
+                    for k in keys), str(d / f"{split}.hw.tsv"))
+        tsv_writer(((k, json.dumps([{"caption": caps[i]}]))
+                    for i, k in enumerate(keys)),
+                   str(d / f"{split}.caption.tsv"))
+        tsv_writer(((k, "1") for k in keys),
+                   str(d / f"{split}.num_caption.tsv"))
+        tsv_writer(((k, json.dumps([{"class": "dog", "conf": 0.9}]))
+                    for k in keys), str(d / f"{split}.label.tsv"))
+    # tiny text-encoder dir: tiny dims + the real vocab
+    enc = root / "tiny_encoder"
+    enc.mkdir()
+    cfgj = {"hidden_size": 32, "num_attention_heads": 4,
+            "intermediate_size": 64, "num_hidden_layers": 2,
+            "max_position_embeddings": 96, "type_vocab_size": 2,
+            "vocab_size": 30522, "layer_norm_eps": 1e-12,
+            "attention_probs_dropout_prob": 0.0}
+    (enc / "config.json").write_text(json.dumps(cfgj))
+    import shutil
+    shutil.copy(VOCAB, enc / "vocab.txt")
+    return root
+
+
+def _param(workdir):
+    return {
+        "data": "tinycoco",
+        "test_data": "tinycoco",
+        "test_split": "test",
+        "net": "tiny",
+        "expid": "e2e",
+        "data_root": str(workdir / "data"),
+        "output_root": str(workdir / "output"),
+        "text_encoder_type": str(workdir / "tiny_encoder"),
+        "train_crop_size": 32,
+        "test_crop_size": 32,
+        "max_seq_length": 26,
+        "max_seq_a_length": 6,
+        "max_gen_length": 6,
+        "topk": 5,
+        "split_blocks": 1,
+        "decoder_layers": 2,
+        "effective_batch_size": 2,
+        "test_batch_size": 2,
+        "max_iter": 3,
+        "snapshot_steps": 2,
+        "log_step": 1,
+        "base_lr": 1e-3,
+        "drop_out": 0.0,
+        "num_workers": 2,
+        "encode": "bert",
+        "mesh_data": 1,
+        "pipeline_type": {
+            "from": "src.pipelines.tagger_caption_uni_pipeline_expanding_bertemb",
+            "import": "CaptionUniPipeline"},
+    }
+
+
+def test_train_eval_multi(workdir):
+    import run as R
+    param = _param(workdir)
+    all_test = [{"test_data": "tinycoco", "test_split": "test"}]
+    results = R.pipeline_train_eval_multi(all_test, param)
+
+    out = workdir / "output" / "tinycoco_tiny_e2e"
+    final = out / "snapshot" / "model_iter_0000003.ckpt"
+    assert final.is_file()
+    # intermediate snapshot at iter 2
+    assert (out / "snapshot" / "model_iter_0000002.ckpt").is_file()
+    assert (out / "snapshot" / "last_checkpoint").is_file()
+
+    assert len(results) == 1 and results[0] is not None
+    for k in ["Bleu_4", "CIDEr", "METEOR", "ROUGE_L"]:
+        assert k in results[0]
+
+    # predict tsv exists with 6 rows of {caption, conf}
+    preds = list((out / "snapshot").glob("*.predict.tsv"))
+    assert len(preds) == 1
+    rows = [l.split("\t") for l in
+            preds[0].read_text().strip().split("\n")]
+    assert len(rows) == 6
+    caps = json.loads(rows[0][1])
+    assert "caption" in caps[0] and "conf" in caps[0]
+
+    # re-run: everything cached (no retrain, same artifacts)
+    results2 = R.pipeline_train_eval_multi(all_test, param)
+    assert results2[0] == results[0]
+
+
+def test_eval_multi_after_train(workdir):
+    import run as R
+    param = _param(workdir)
+    all_test = [{"test_data": "tinycoco", "test_split": "test"}]
+    results = R.pipeline_eval_multi(all_test, param)
+    assert results and results[0] is not None
+
+
+def test_resume_from_snapshot(workdir):
+    """Kill-and-resume: training restarts from the last snapshot."""
+    import run as R
+    param = _param(workdir)
+    param["expid"] = "resume"
+    param["max_iter"] = 4
+    param["snapshot_steps"] = 2
+    pip = R.create_pipeline(param)
+    pip.ensure_train()
+    out = workdir / "output" / "tinycoco_tiny_resume" / "snapshot"
+    assert (out / "model_iter_0000004.ckpt").is_file()
+
+    # delete the final; pointer at iter 2 -> resume trains only 2 more
+    (out / "model_iter_0000004.ckpt").unlink()
+    (out / "last_checkpoint").write_text(
+        str(out / "model_iter_0000002.ckpt"))
+    pip2 = R.create_pipeline(param)
+    pip2.ensure_train()
+    assert (out / "model_iter_0000004.ckpt").is_file()

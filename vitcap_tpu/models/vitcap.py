@@ -152,7 +152,9 @@ def init_tag_blocks_from_encoder(params: Params, cfg: ModelConfig) -> Params:
     src = params["encoder"]["blocks"][-cfg.split_blocks:]
     params = dict(params)
     enc = dict(params["encoder"])
-    enc["tag_blocks"] = jax.tree_util.tree_map(lambda x: x, src)
+    # real copies: aliased buffers would break jit donation downstream
+    enc["tag_blocks"] = jax.tree_util.tree_map(
+        lambda x: jnp.array(x, copy=True), src)
     params["encoder"] = enc
     return params
 

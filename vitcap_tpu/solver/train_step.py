@@ -94,6 +94,14 @@ def make_train_step(cfg: ModelConfig, hyper: TrainHyper,
                    "masked_loss": aux.get("masked_loss", loss)}
         if "tag_loss" in aux:
             metrics["tag_loss"] = aux["tag_loss"]
+        if "class_logits" in aux and "masked_weight" in aux:
+            # train-time caption token accuracy probe
+            # (reference …bertemb.py:124-163, compute_score_with_logits)
+            pred = jnp.argmax(aux["class_logits"], axis=-1)
+            w = aux["masked_weight"]
+            hit = (pred == batch["masked_ids"]).astype(jnp.float32) * w
+            metrics["caption_acc"] = jnp.sum(hit) / jnp.maximum(
+                jnp.sum(w), 1.0)
         return TrainState(new_params, new_opt, rng), metrics
 
     return step
