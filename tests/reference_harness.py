@@ -31,7 +31,9 @@ def install():
     if _INSTALLED:
         return
     if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+        # append, not insert(0): the reference repo has top-level run.py /
+        # src/ which must not shadow this repo's modules
+        sys.path.append("/root/reference")
 
     for m in ["boto3", "botocore", "botocore.exceptions"]:
         mod = _stub_module(m, is_package=(m != "botocore.exceptions"))

@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import threading
 import os.path as op
 from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
 
@@ -50,17 +51,18 @@ def _lineidx_to_8b(idx_path: str, path_8b: str) -> None:
 class TSVFile:
     """Random-access TSV with `.lineidx.8b` (preferred) / `.lineidx` sidecars.
 
-    Fork-safe: the file pointer is re-opened when the PID changes
-    (reference tsv_io.py:355-370).
+    Fork-safe (the reference re-opens on PID change, tsv_io.py:355-370) AND
+    thread-safe: file handles are per-(pid, thread) via threading.local so
+    the thread-pool DataLoader can seek concurrently without corrupting
+    reads.
     """
 
     def __init__(self, tsv_path: str, generate_index: bool = True):
         self.tsv_path = tsv_path
         self.lineidx_path = op.splitext(tsv_path)[0] + ".lineidx"
         self.lineidx_8b_path = self.lineidx_path + ".8b"
-        self._fp = None
+        self._local = threading.local()
         self._offsets: Optional[np.ndarray] = None
-        self._pid = None
         self._generate_index = generate_index
 
     def _ensure_offsets(self) -> None:
@@ -78,15 +80,19 @@ class TSVFile:
             self._offsets = np.loadtxt(self.lineidx_path, dtype=np.int64,
                                        ndmin=1)
 
+    @property
+    def _fp(self):
+        return getattr(self._local, "fp", None)
+
     def _ensure_fp(self) -> None:
-        if self._fp is None or self._pid != os.getpid():
+        if self._fp is None or getattr(self._local, "pid", None) != os.getpid():
             if self._fp is not None:
                 try:
-                    self._fp.close()
+                    self._local.fp.close()
                 except Exception:
                     pass
-            self._fp = open(self.tsv_path, "rb")
-            self._pid = os.getpid()
+            self._local.fp = open(self.tsv_path, "rb")
+            self._local.pid = os.getpid()
 
     def num_rows(self) -> int:
         self._ensure_offsets()
@@ -128,8 +134,8 @@ class TSVFile:
 
     def close(self) -> None:
         if self._fp is not None:
-            self._fp.close()
-            self._fp = None
+            self._local.fp.close()
+            self._local.fp = None
 
 
 class CompositeTSVFile:
