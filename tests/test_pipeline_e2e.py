@@ -147,3 +147,16 @@ def test_resume_from_snapshot(workdir):
     pip2 = R.create_pipeline(param)
     pip2.ensure_train()
     assert (out / "model_iter_0000004.ckpt").is_file()
+
+
+def test_scst_pipeline(workdir):
+    """SCST fine-tuning through the pipeline surface."""
+    import run as R
+    param = _param(workdir)
+    param.update({"expid": "scst", "scst": True, "scst_num_return": 2,
+                  "max_iter": 2, "snapshot_steps": 10,
+                  "cider_cached_tokens": "corpus", "base_lr": 1e-4})
+    pip = R.create_pipeline(param)
+    pip.ensure_train()
+    out = workdir / "output" / "tinycoco_tiny_scst" / "snapshot"
+    assert (out / "model_iter_0000002.ckpt").is_file()

@@ -1,0 +1,111 @@
+"""SCST tests: probe-layout scoring parity with the decode loop, reward /
+advantage math, full step smoke."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vitcap_tpu.models.config import tiny_config
+from vitcap_tpu.models import vitcap as M
+from vitcap_tpu.models import decode as D
+from vitcap_tpu.solver import scst as S
+
+TCFG = tiny_config(max_seq_len=26, max_seq_a_len=6, topk=5,
+                   hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                   max_gen_length=6)
+OD_LEN = TCFG.max_seq_len - TCFG.max_seq_a_len
+A = TCFG.max_gen_length
+OPTS = D.DecodeOptions(max_length=A, od_labels_start_posid=TCFG.max_seq_a_len)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = M.init_params(jax.random.PRNGKey(5), TCFG)
+    rng = np.random.RandomState(3)
+    B = 2
+    images = jnp.asarray(rng.randn(B, TCFG.img_size, TCFG.img_size, 3),
+                         jnp.float32)
+    od_ids = jnp.asarray(rng.randint(4, TCFG.vocab_size, (B, OD_LEN)),
+                         jnp.int32)
+    seq_len = jnp.asarray([A + OD_LEN, A + OD_LEN - 3])
+    return params, images, od_ids, seq_len
+
+
+def test_probe_scoring_matches_decode_loop(setup):
+    """Greedy-decoded captions re-scored by the probe layout must give the
+    decode loop's own logprobs bit-for-bit (same math, different layout)."""
+    params, images, od_ids, seq_len = setup
+    out = D.generate_greedy(params, images, od_ids, None, seq_len, TCFG, OPTS)
+    ids = out["ids"][:, 0]                    # (B, A)
+    lp = S.score_caption_logprobs(params, images, od_ids, None, seq_len,
+                                  ids, TCFG, OPTS,
+                                  target_ids=out["raw_tokens"])
+    np.testing.assert_allclose(np.array(lp), np.array(out["logprobs"][:, 0]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_probe_scoring_num_return_expansion(setup):
+    params, images, od_ids, seq_len = setup
+    out = D.generate_greedy(params, images, od_ids, None, seq_len, TCFG, OPTS)
+    ids = out["ids"][:, 0]
+    # repeat each image's caption K=2 times -> same logprobs per pair
+    K = 2
+    rep = jnp.repeat(ids, K, axis=0)
+    lp = S.score_caption_logprobs(params, images, od_ids, None, seq_len,
+                                  rep, TCFG, OPTS)
+    lp = np.array(lp).reshape(-1, K)
+    np.testing.assert_allclose(lp[:, 0], lp[:, 1], rtol=1e-6)
+
+
+def test_advantage_math_greedy_baseline(monkeypatch):
+    r = S.ScstReward(baseline_type="greedy")
+    fake = np.array([1.0, 3.0, 2.0, 4.0, 0.5, 1.5])   # 4 samples + 2 greedy
+
+    def fake_score(gts, res):
+        return None, fake[: len(res)]
+    monkeypatch.setattr(r.scorer, "compute_score",
+                        lambda gts, res: (None, fake))
+    adv = r([["gt a"], ["gt b"]], ["g1", "g2"], ["s1", "s2", "s3", "s4"])
+    np.testing.assert_allclose(adv, [1.0 - 0.5, 3.0 - 0.5,
+                                     2.0 - 1.5, 4.0 - 1.5])
+    assert abs(r.get_score() - np.mean([1, 3, 2, 4])) < 1e-9
+
+
+def test_advantage_math_sample_baseline(monkeypatch):
+    r = S.ScstReward(baseline_type="sample")
+    fake = np.array([1.0, 3.0, 2.0, 4.0])
+    monkeypatch.setattr(r.scorer, "compute_score",
+                        lambda gts, res: (None, fake))
+    adv = r([["gt a"], ["gt b"]], [], ["s1", "s2", "s3", "s4"])
+    # leave-one-out baselines: [3, 1, 4, 2]
+    np.testing.assert_allclose(adv, [1 - 3, 3 - 1, 2 - 4, 4 - 2])
+
+
+def test_wrap_sentence():
+    assert S.wrap_sentence("a dog runs.") == "a dog runs <eos>"
+    assert S.wrap_sentence(" a dog ") == "a dog <eos>"
+
+
+def test_full_scst_step(setup):
+    from vitcap_tpu.data.tokenization import BertTokenizer
+    from vitcap_tpu.solver.train_step import TrainHyper, init_train_state
+    params, images, od_ids, seq_len = setup
+    tok = BertTokenizer(
+        "/root/reference/yaml/VILT-L12-H784-uncased_16_384/vocab.txt")
+    hyper = TrainHyper(base_lr=1e-4, max_iter=10)
+    scfg = S.ScstConfig(num_return=2)
+    decode_fn, grad_fn = S.make_scst_fns(TCFG, OPTS, scfg, hyper)
+    state = init_train_state(params, jax.random.PRNGKey(0))
+    reward = S.ScstReward(baseline_type="greedy")
+    batch = {"image": images, "od_ids": od_ids, "seq_len": seq_len}
+    gt = [["a dog runs across the field", "the dog runs"],
+          ["a man rides a bike", "the man is riding"]]
+    state, metrics = S.scst_train_step(decode_fn, grad_fn, reward, tok,
+                                       state, batch, gt,
+                                       jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["scst_loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    assert metrics["cider_score"] is not None

@@ -87,13 +87,13 @@ def _tag_embeddings(params: Params, pred_topk: jnp.ndarray, cfg: ModelConfig
     return emb.astype(cfg.compute_dtype)
 
 
-def build_decode_context(params: Params, images: jnp.ndarray,
-                         od_ids: jnp.ndarray,
-                         od_token_type_ids: Optional[jnp.ndarray],
-                         seq_len: jnp.ndarray, cfg: ModelConfig,
-                         opts: DecodeOptions) -> Dict[str, Any]:
-    """Vision + tag selection + decoder-layer K/V prefill over the static
-    context [od/tag slots, tagCLS, visual].
+def build_context_embeddings(params: Params, images: jnp.ndarray,
+                             od_ids: jnp.ndarray,
+                             od_token_type_ids: Optional[jnp.ndarray],
+                             seq_len: jnp.ndarray, cfg: ModelConfig,
+                             opts: DecodeOptions) -> Dict[str, Any]:
+    """Vision + tag selection + pre-decoder context embeddings
+    [od/tag slots, tagCLS, visual] and their validity mask.
 
     od_ids: (B, od_len) od-label token ids (tail slots are overwritten by
       predicted concept embeddings, like the reference).
@@ -132,6 +132,21 @@ def build_decode_context(params: Params, images: jnp.ndarray,
     od_valid = (od_j < seq_len[:, None])               # (B, od_len)
     ctx_valid = jnp.concatenate(
         [od_valid, jnp.ones((B, S_ctx - od_len), bool)], axis=1)  # (B, S_ctx)
+    return {"ctx": ctx, "ctx_valid": ctx_valid, "od_len": od_len,
+            "tag_logits": enc["tag_logits"], "pred_topk": enc["pred_topk"]}
+
+
+def build_decode_context(params: Params, images: jnp.ndarray,
+                         od_ids: jnp.ndarray,
+                         od_token_type_ids: Optional[jnp.ndarray],
+                         seq_len: jnp.ndarray, cfg: ModelConfig,
+                         opts: DecodeOptions) -> Dict[str, Any]:
+    """build_context_embeddings + decoder-layer K/V prefill over the static
+    context (valid because context tokens never attend caption tokens)."""
+    ce = build_context_embeddings(params, images, od_ids, od_token_type_ids,
+                                  seq_len, cfg, opts)
+    ctx, ctx_valid, od_len = ce["ctx"], ce["ctx_valid"], ce["od_len"]
+    B, S_ctx, _ = ctx.shape
 
     # prefill mask: od rows attend valid od + tagCLS+visual; tagCLS/visual
     # rows attend only tagCLS+visual (reference mask: visual never sees text)
@@ -153,8 +168,8 @@ def build_decode_context(params: Params, images: jnp.ndarray,
     return {
         "ctx_k": ctx_k, "ctx_v": ctx_v,        # per decoder layer (B,S_ctx,H)
         "ctx_valid": ctx_valid,                # (B, S_ctx)
-        "tag_logits": enc["tag_logits"],
-        "pred_topk": enc["pred_topk"],
+        "tag_logits": ce["tag_logits"],
+        "pred_topk": ce["pred_topk"],
     }
 
 
@@ -366,10 +381,10 @@ def generate_greedy(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
         sum_lp = sum_lp + score * unfin
         cnt = cnt + unfin
         unfin = unfin * (add != cfg.sep_token_id).astype(jnp.float32)
-        return (tokens, unfin, sum_lp, cnt, cap_k, cap_v, r), score
+        return (tokens, unfin, sum_lp, cnt, cap_k, cap_v, r), (score, nxt)
 
-    (tokens, unfin, sum_lp, cnt, *_), step_scores = jax.lax.scan(
-        step, carry, jnp.arange(1, A))
+    (tokens, unfin, sum_lp, cnt, *_), (step_scores, raw_tokens) = \
+        jax.lax.scan(step, carry, jnp.arange(1, A))
     # force EOS on unfinished at max length (reference :884-886)
     tokens = tokens.at[:, A - 1].set(
         jnp.where(unfin > 0, cfg.sep_token_id, tokens[:, A - 1]))
@@ -381,6 +396,10 @@ def generate_greedy(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
         out_lp = out_lp.reshape(B, nrs)
     return {"ids": out_ids, "logprobs": out_lp,
             "step_scores": step_scores.T,      # (Bb, A-1)
+            # per-step argmax/sampled token BEFORE pad-masking / the forced
+            # final EOS — the token whose logprob the loop recorded (needed
+            # for exact SCST gradient parity)
+            "raw_tokens": raw_tokens.T.astype(jnp.int32),   # (Bb, A-1)
             "tag_logits": ctx["tag_logits"], "pred_topk": ctx["pred_topk"]}
 
 

@@ -79,6 +79,10 @@ class CaptionUniPipeline(UniPipeline):
             "tag_loss_weight": 0.0,
             "mesh_data": None,          # data-axis size; None = all devices
             "caption_version": None,
+            # SCST (reference …expanding.py:404-478)
+            "scst": False,
+            "scst_num_return": 2,
+            "sc_baseline_type": "greedy",
         })
         # re-resolve config with the updated defaults
         from ..utils.common import Config
@@ -213,9 +217,11 @@ class CaptionUniPipeline(UniPipeline):
         # NOTE: 'label' is kept — TagTensorize overwrote the raw od list
         # with the multi-hot tensor (reference useless_keys comment out
         # 'label' for train, …bertemb.py:462)
-        ops.append(RemoveUselessKeys(
-            ["idx", "idx_img", "idx_cap", "caption", "text_a", "text_b",
-             "height", "width"]))
+        useless = ["idx", "idx_cap", "caption", "text_a", "text_b",
+                   "height", "width"]
+        if not (is_train and self.cfg.scst):
+            useless.append("idx_img")   # scst needs it for GT-caption lookup
+        ops.append(RemoveUselessKeys(useless))
         ops.append(RenameKey({"segment_ids": "token_type_ids"}))
         return Compose(ops)
 
@@ -230,6 +236,11 @@ class CaptionUniPipeline(UniPipeline):
         return make_mesh(n_data=n)
 
     def train(self):
+        if self.cfg.scst:
+            return self._train_scst()
+        return self._train_xe()
+
+    def _train_xe(self):
         import jax
         import jax.numpy as jnp
         from ..models import vitcap as M
@@ -299,6 +310,96 @@ class CaptionUniPipeline(UniPipeline):
                     and iteration != self.max_iter and self.mpi_rank == 0:
                 ckpt.save(iteration, self._state_dict(state))
             t_end = time.time()
+            if iteration >= self.max_iter:
+                break
+        if self.mpi_rank == 0:
+            ckpt.save(self.max_iter, self._state_dict(state))
+        return state
+
+    def _train_scst(self):
+        """SCST fine-tuning loop (reference …expanding.py:404-478): greedy
+        baseline + sampled decode, CiderD advantage on host, policy-gradient
+        step on TPU."""
+        import jax
+        import jax.numpy as jnp
+        from ..data.dataset import LoadCaption
+        from ..models import vitcap as M
+        from ..solver.checkpointing import Checkpointer
+        from ..solver.scst import ScstConfig, ScstReward, make_scst_fns, \
+            scst_train_step
+        from ..solver.train_step import TrainHyper, TrainState, \
+            init_train_state
+        from ..solver.optimization import AdamWState
+
+        cfg = self.model_cfg
+        ckpt = Checkpointer(self.model_folder)
+        params = M.init_params(jax.random.PRNGKey(self.cfg.random_seed), cfg)
+        params, full_state, start_iter = ckpt.recover_or_load(
+            self.cfg.basemodel, params)
+        if full_state is not None:
+            state = TrainState(
+                params,
+                AdamWState(jnp.asarray(full_state["opt"]["step"]),
+                           full_state["opt"]["mu"], full_state["opt"]["nu"]),
+                jax.random.PRNGKey(self.cfg.random_seed + start_iter))
+        else:
+            state = init_train_state(
+                params, jax.random.PRNGKey(self.cfg.random_seed))
+
+        hyper = TrainHyper(
+            base_lr=float(self.cfg.base_lr),
+            weight_decay=float(self.cfg.weight_decay),
+            lr_multiplier=float(self.cfg.lr_multiplier),
+            warmup_steps=int(self.cfg.warmup_steps),
+            max_iter=self.max_iter,
+            scheduler_type=self.cfg.scheduler_type,
+            grad_clip=float(self.cfg.gradient_clip))
+        opts = self.decode_options()
+        scfg = ScstConfig(num_return=int(self.cfg.scst_num_return),
+                          baseline_type=self.cfg.sc_baseline_type,
+                          cider_cached_tokens=self.cfg.cider_cached_tokens)
+        decode_fn, grad_fn = make_scst_fns(cfg, opts, scfg, hyper)
+        df = self.cfg.cider_cached_tokens
+        reward = ScstReward(
+            df if df and op.isfile(df) else "corpus",
+            baseline_type=self.cfg.sc_baseline_type)
+        caption_loader = LoadCaption(self.cfg.data, "train",
+                                     version=self.cfg.caption_version,
+                                     data_root=self.cfg.data_root)
+        loader = self.get_data_loader(is_train=True, start_iter=start_iter)
+
+        A = opts.max_length
+        meters = MetricLogger()
+        iteration = start_iter
+        rng = jax.random.PRNGKey(self.cfg.random_seed + 1)
+        for batch in loader:
+            rng, sub = jax.random.split(rng)
+            input_ids = np.asarray(batch["input_ids"])
+            dev = {
+                "image": jnp.asarray(np.asarray(batch["image"]),
+                                     jnp.float32),
+                "od_ids": jnp.asarray(input_ids[:, A:]),
+                "seq_len": jnp.asarray(np.asarray(batch["seq_len"])),
+            }
+            gt = [caption_loader.get_captions_by_key(int(i))
+                  for i in batch["idx_img"]]
+            state, metrics = scst_train_step(
+                decode_fn, grad_fn, reward, self.tokenizer, state, dev,
+                gt, sub)
+            iteration += 1
+            if iteration % int(self.cfg.log_step) == 0 \
+                    or iteration == self.max_iter:
+                loss = float(metrics["scst_loss"])
+                if not np.isfinite(loss):
+                    ckpt.save(iteration, self._state_dict(state))
+                    raise RuntimeError(f"NaN scst loss at iter {iteration}")
+                meters.update(scst_loss=loss,
+                              cider=metrics["cider_score"])
+                logging.info("scst iter %d/%d %s", iteration, self.max_iter,
+                             meters)
+            if iteration % int(self.cfg.snapshot_steps) == 0 \
+                    and iteration != self.max_iter and self.mpi_rank == 0:
+                ckpt.save(iteration, self._state_dict(state))
             if iteration >= self.max_iter:
                 break
         if self.mpi_rank == 0:
