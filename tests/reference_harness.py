@@ -90,6 +90,51 @@ def install():
     _INSTALLED = True
 
 
+def install_cbs():
+    """Extra stubs so the reference utils_cbs imports: a minimal anytree and
+    an alias for its broken `src.tools.layers.bert.modeling_utils` import."""
+    install()
+    if "anytree" not in sys.modules:
+        anytree = _stub_module("anytree", is_package=True)
+
+        class AnyNode:
+            def __init__(self, parent=None, **attrs):
+                self.parent = parent
+                self.children = []
+                if parent is not None:
+                    parent.children.append(self)
+                for k, v in attrs.items():
+                    setattr(self, k, v)
+
+            @property
+            def height(self):
+                return 1 + max((c.height for c in self.children), default=-1)
+
+        def findall(root, filter_):
+            out = []
+
+            def walk(n):
+                if filter_(n):
+                    out.append(n)
+                for c in n.children:
+                    walk(c)
+            walk(root)
+            return tuple(out)
+
+        search = _stub_module("anytree.search")
+        search.findall = findall
+        anytree.AnyNode = AnyNode
+        anytree.search = search
+        sys.modules["anytree"] = anytree
+        sys.modules["anytree.search"] = search
+
+    if "src.tools.layers.bert.modeling_utils" not in sys.modules:
+        import src.layers.bert.modeling_utils as real_mu
+        for name in ["src.tools.layers", "src.tools.layers.bert"]:
+            sys.modules.setdefault(name, _stub_module(name, is_package=True))
+        sys.modules["src.tools.layers.bert.modeling_utils"] = real_mu
+
+
 def make_tiny_ref_vitcap(tcfg, seed=0):
     """Build a tiny reference ViTCAP (torch) + matching patch-embed-only image
     encoder, with timm.create_model patched to produce tiny ViTs."""

@@ -83,6 +83,15 @@ class CaptionUniPipeline(UniPipeline):
             "scst": False,
             "scst_num_return": 2,
             "sc_baseline_type": "greedy",
+            # constrained beam search (reference use_cbs path)
+            "use_cbs": False,
+            "cbs_boxes_tsv": None,
+            "cbs_hierarchy_json": None,
+            "cbs_constraint2tokens_tsv": None,
+            "cbs_wordforms_tsv": None,
+            "cbs_nms_threshold": 0.85,
+            "cbs_max_constraints": 3,
+            "min_constraints_to_satisfy": 2,
         })
         # re-resolve config with the updated defaults
         from ..utils.common import Config
@@ -458,6 +467,25 @@ class CaptionUniPipeline(UniPipeline):
             params = state["params"] if "params" in state else state
         return params
 
+    def _make_cbs_decoder(self):
+        from ..models.cbs import (CbsDecoder, ConstraintBoxesReader,
+                                  ConstraintFilter, FiniteStateMachineBuilder,
+                                  load_wordforms)
+        return CbsDecoder(
+            self.tokenizer,
+            ConstraintFilter(self.cfg.cbs_hierarchy_json,
+                             float(self.cfg.cbs_nms_threshold),
+                             int(self.cfg.cbs_max_constraints)),
+            FiniteStateMachineBuilder(
+                self.tokenizer,
+                load_wordforms(self.cfg.cbs_constraint2tokens_tsv),
+                load_wordforms(self.cfg.cbs_wordforms_tsv),
+                int(self.cfg.cbs_max_constraints)),
+            ConstraintBoxesReader(self.cfg.cbs_boxes_tsv),
+            min_constraints_to_satisfy=int(
+                self.cfg.min_constraints_to_satisfy),
+            beam_size=max(int(self.cfg.num_beams), 5))
+
     def predict_iter(self, dataloader, params, meters) -> Iterator:
         import jax
         import jax.numpy as jnp
@@ -466,6 +494,7 @@ class CaptionUniPipeline(UniPipeline):
         cfg = self.model_cfg
         opts = self.decode_options()
         A = opts.max_length
+        cbs = self._make_cbs_decoder() if self.cfg.use_cbs else None
 
         @partial(jax.jit, static_argnums=())
         def run(params, images, od_ids, tt, seq_len):
@@ -491,11 +520,21 @@ class CaptionUniPipeline(UniPipeline):
                 seq_len = np.concatenate(
                     [seq_len, np.repeat(seq_len[-1:], pad, 0)])
             od_ids = input_ids[:, A:]
-            ids, logprobs = run(params, jnp.asarray(images),
-                                jnp.asarray(od_ids), jnp.asarray(tt[:, A:]),
-                                jnp.asarray(seq_len))
-            ids = np.asarray(ids)[:n]
-            confs = np.exp(np.asarray(logprobs))[:n]
+            if cbs is not None:
+                keys = list(batch["key"]) + [batch["key"][-1]] * (B - n)
+                best, best_lp = cbs.decode(
+                    params, jnp.asarray(images), jnp.asarray(od_ids),
+                    jnp.asarray(tt[:, A:]), jnp.asarray(seq_len), keys,
+                    cfg, opts)
+                ids = best[:n, None, :]
+                confs = np.exp(best_lp)[:n, None]
+            else:
+                ids, logprobs = run(params, jnp.asarray(images),
+                                    jnp.asarray(od_ids),
+                                    jnp.asarray(tt[:, A:]),
+                                    jnp.asarray(seq_len))
+                ids = np.asarray(ids)[:n]
+                confs = np.exp(np.asarray(logprobs))[:n]
             meters.update(decode_time=time.time() - t0)
             for key, caps, cfs in zip(batch["key"], ids, confs):
                 res = [{"caption": self.tokenizer.decode(
