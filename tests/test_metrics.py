@@ -110,3 +110,38 @@ def test_ptb_tokenizer():
         ["it", "'s", "a", "man", "'s", "hat"]
     out = ptb_tokenize({"k": [{"caption": "Hello, World!"}]})
     assert out == {"k": ["hello world"]}
+
+
+def test_native_cider_matches_python(monkeypatch):
+    from vitcap_tpu.evals.native_cider import ciderd_corpus_native
+    out = ciderd_corpus_native(
+        {k: [s for s in v] for k, v in GTS.items()},
+        {k: [v[0]] for k, v in RES.items()})
+    assert out is not None, "native cider failed to build"
+    monkeypatch.setenv("VITCAP_NATIVE_CIDER", "0")
+    ref_mean, ref_scores = cider(GTS, RES)
+    np.testing.assert_allclose(out[1], ref_scores, rtol=1e-9)
+    np.testing.assert_allclose(out[0], ref_mean, rtol=1e-9)
+
+
+def test_native_cider_speed():
+    import time
+    from vitcap_tpu.evals.native_cider import ciderd_corpus_native
+    from vitcap_tpu.evals.metrics import CiderD
+    rng = np.random.RandomState(0)
+    words = [f"w{i}" for i in range(500)]
+    gts = {f"k{i}": [" ".join(rng.choice(words, 12)) for _ in range(5)]
+           for i in range(128)}
+    res = {k: [" ".join(rng.choice(words, 12))] for k in gts}
+    t0 = time.perf_counter(); out_n = ciderd_corpus_native(gts, res)
+    t_native = time.perf_counter() - t0
+    import os
+    os.environ["VITCAP_NATIVE_CIDER"] = "0"
+    try:
+        t0 = time.perf_counter()
+        out_p = CiderD(df="corpus").compute_score(gts, res)
+        t_py = time.perf_counter() - t0
+    finally:
+        del os.environ["VITCAP_NATIVE_CIDER"]
+    np.testing.assert_allclose(out_n[1], out_p[1], rtol=1e-9)
+    assert t_native < t_py, (t_native, t_py)

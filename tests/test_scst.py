@@ -109,3 +109,34 @@ def test_full_scst_step(setup):
     assert np.isfinite(float(metrics["scst_loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
     assert metrics["cider_score"] is not None
+
+
+def test_gen_tag_ratio_curriculum(setup):
+    """ratio=1 -> pure predicted tags (same loss as without the key);
+    ratio=0 -> GT tags occupy the leading concept slots."""
+    import jax
+    params, images, od_ids, seq_len = setup
+    B = 2
+    T = TCFG.max_seq_len
+    rng = np.random.RandomState(9)
+    batch = dict(
+        image=images,
+        input_ids=jnp.asarray(rng.randint(4, TCFG.vocab_size, (B, T)),
+                              jnp.int32),
+        token_type_ids=jnp.zeros((B, T), jnp.int32),
+        seq_a_len=jnp.full((B,), TCFG.max_seq_a_len),
+        seq_len=jnp.full((B,), T),
+        masked_pos=jnp.zeros((B, T), jnp.int32).at[:, 1].set(1),
+        masked_ids=jnp.zeros((B, TCFG.max_masked_tokens), jnp.int32)
+        .at[:, 0].set(7),
+        label=jnp.zeros((B, TCFG.tag_vocab_size)).at[:, 5].set(1.0)
+        .at[:, 9].set(1.0),
+    )
+    key = jax.random.PRNGKey(0)
+    l_plain, _ = M.forward_train(params, batch, TCFG, rng=key)
+    l_ratio1, _ = M.forward_train(
+        params, dict(batch, gen_tag_ratio=jnp.asarray(1.0)), TCFG, rng=key)
+    np.testing.assert_allclose(float(l_plain), float(l_ratio1), rtol=1e-6)
+    l_ratio0, _ = M.forward_train(
+        params, dict(batch, gen_tag_ratio=jnp.asarray(0.0)), TCFG, rng=key)
+    assert abs(float(l_ratio0) - float(l_plain)) > 1e-7  # GT tags injected

@@ -23,6 +23,7 @@ pre-tokenized (space-joined) strings, like pycocoevalcap after PTBTokenizer.
 from __future__ import annotations
 
 import math
+import os
 import pickle
 from collections import Counter, defaultdict
 from typing import Dict, List, Optional, Tuple
@@ -146,6 +147,12 @@ class CiderD:
     def compute_score(self, gts: Dict[str, List[str]],
                       res: Dict[str, List[str]]
                       ) -> Tuple[float, np.ndarray]:
+        if self.df_mode == "corpus" and self.n == 4 \
+                and os.environ.get("VITCAP_NATIVE_CIDER", "1") != "0":
+            from .native_cider import ciderd_corpus_native
+            out = ciderd_corpus_native(gts, res, self.sigma)
+            if out is not None:
+                return out
         keys = list(gts.keys())
         crefs = [[ _ngram_counter(r, self.n) for r in gts[k]] for k in keys]
         ctest = [_ngram_counter(res[k][0], self.n) for k in keys]

@@ -563,3 +563,27 @@ def generate(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
                              seq_len, cfg, opts)
     return generate_greedy(params, images, od_ids, od_token_type_ids,
                            seq_len, cfg, opts, rng)
+
+
+def prod_generate(params: Params, image: jnp.ndarray, cfg: ModelConfig,
+                  opts: Optional[DecodeOptions] = None,
+                  od_ids: Optional[jnp.ndarray] = None
+                  ) -> Dict[str, jnp.ndarray]:
+    """Production single-image greedy decode (reference prod_generate
+    modeling_bert.py:1075-1202).  The cached engine already IS the
+    fast path, so this is the batch-1 greedy entry point; the reference's
+    cache-free `prod_no_hidden_generate` (:1204-1304) recompute variant is
+    subsumed (identical outputs, strictly slower)."""
+    if opts is None:
+        opts = DecodeOptions(max_length=cfg.max_gen_length,
+                             od_labels_start_posid=cfg.max_seq_a_len)
+    if image.ndim == 3:
+        image = image[None]
+    od_len = cfg.max_seq_len - cfg.max_seq_a_len
+    if od_ids is None:
+        od_ids = jnp.zeros((image.shape[0], od_len), jnp.int32)
+    seq_len = jnp.full((image.shape[0],), cfg.max_seq_a_len, jnp.int32)
+    return generate_greedy(params, image, od_ids, None, seq_len, cfg, opts)
+
+
+prod_no_hidden_generate = prod_generate

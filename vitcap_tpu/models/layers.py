@@ -67,13 +67,29 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
         bias: Optional[jnp.ndarray] = None,
         dropout_rate: float = 0.0, rng: Optional[jax.Array] = None,
         deterministic: bool = True) -> jnp.ndarray:
-    """q:(B,Lq,H) k/v:(B,Lk,H) bias:(B,1|nh,Lq,Lk) additive -> (B,Lq,H)."""
+    """q:(B,Lq,H) k/v:(B,Lk,H) bias:(B,1|nh,Lq,Lk) additive -> (B,Lq,H).
+
+    Self-attention (Lq == Lk) without attention-prob dropout routes to the
+    fused Pallas flash kernel on TPU (ops.flash_attention); everything else
+    (decode windows, dropout-active training attention) uses the XLA path.
+    """
     B, Lq, H = q.shape
     Lk = k.shape[1]
     hd = H // num_heads
     qh = q.reshape(B, Lq, num_heads, hd).transpose(0, 2, 1, 3)
     kh = k.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
     vh = v.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
+
+    use_dropout = not (deterministic or dropout_rate == 0.0 or rng is None)
+    if Lq == Lk and Lq >= 64 and not use_dropout:
+        from ..ops import attention_backend
+        backend = attention_backend()
+        if backend != "xla":
+            from ..ops.flash_attention import flash_attention
+            out = flash_attention(qh, kh, vh, bias,
+                                  backend == "pallas_interpret")
+            return out.transpose(0, 2, 1, 3).reshape(B, Lq, H)
+
     scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                         preferred_element_type=jnp.float32)
     scores = scores * (hd ** -0.5)

@@ -367,9 +367,26 @@ def forward_train(params: Params, batch: Dict[str, jnp.ndarray],
         r_emb = r_dec = None
 
     enc = encode_images(params, batch["image"], cfg)
+    pred_topk = enc["pred_topk"]
+    if "gen_tag_ratio" in batch and rng is not None:
+        # GT-tag curriculum: the first floor((1-ratio)*n_gt) concept slots
+        # are replaced by randomly-ordered ground-truth tags (reference
+        # modeling_bert.py:1437-1444; ratio ramps iter/max_iter per
+        # …bertemb.py:95-101).  ratio=1 -> pure predicted tags.
+        r_emb, r_mix = jax.random.split(r_emb)
+        label = batch["label"]
+        noise = jax.random.uniform(r_mix, label.shape, minval=0.1)
+        _, gt_rand = jax.lax.top_k(label * noise, cfg.topk)
+        n_gt = jnp.sum(label > 0, axis=-1)
+        batch_len = jnp.floor(
+            (1.0 - batch["gen_tag_ratio"]) *
+            jnp.minimum(n_gt, cfg.topk).astype(jnp.float32)).astype(jnp.int32)
+        slot = jnp.arange(cfg.topk)[None, :]
+        pred_topk = jnp.where(slot < batch_len[:, None], gt_rand, pred_topk)
+        pred_topk = pred_topk.at[:, -1].set(cfg.sep_token_id)
     text_emb = embed_text_with_tags(
         params, batch["input_ids"], batch.get("token_type_ids"), None,
-        enc["pred_topk"], cfg, r_emb, deterministic)
+        pred_topk, cfg, r_emb, deterministic)
 
     seq = jnp.concatenate(
         [text_emb, enc["tag_cls"].astype(text_emb.dtype),

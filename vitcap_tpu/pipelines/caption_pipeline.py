@@ -297,9 +297,19 @@ class CaptionUniPipeline(UniPipeline):
         t_end = time.time()
         log_step = int(self.cfg.log_step)
         snapshot_steps = int(self.cfg.snapshot_steps)
+        gen_tag_ratio = self.cfg.get("gen_tag_ratio")
+        if self.cfg.get("gt_tag_train"):
+            gen_tag_ratio = 0.05           # reference …bertemb.py:95-96
+        elif self.cfg.get("pred_tag_train"):
+            gen_tag_ratio = 1.0
         for batch in loader:
             data_time = time.time() - t_end
             dev = self._device_train_batch(batch, mesh, shard_batch)
+            if gen_tag_ratio is not None:
+                # linear ramp to 1.0 over training (…bertemb.py:99-101)
+                dev["gen_tag_ratio"] = jnp.asarray(
+                    max(float(gen_tag_ratio), iteration / self.max_iter),
+                    jnp.float32)
             state, metrics = step_fn(state, dev)
             iteration += 1
             if iteration % log_step == 0 or iteration == self.max_iter:

@@ -234,8 +234,18 @@ class UniPipeline:
         dataset = self.get_dataset(is_train=False)
         loader = self.get_data_loader(is_train=False, dataset=dataset)
         meters = MetricLogger()
-        tsv_writer(self.predict_iter(loader, model, meters), sub_file)
+        profile_dir = self.cfg.get("jax_profile_dir")
+        if profile_dir:                           # capture a device trace
+            import jax
+            with jax.profiler.trace(profile_dir):
+                tsv_writer(self.predict_iter(loader, model, meters),
+                           sub_file)
+        else:
+            tsv_writer(self.predict_iter(loader, model, meters), sub_file)
         logging.info(str(meters))
+        # per-prediction speed report (reference .speed.yaml,
+        # uni_pipeline.py:804-805)
+        write_to_yaml_file(meters.get_info(), sub_file + ".speed.yaml")
         if self.mpi_rank == 0:
             write_to_yaml_file(self.kwargs, predict_file + ".info.yaml")
         self._barrier()
@@ -296,10 +306,54 @@ class UniPipeline:
                 yield f
 
     def monitor_train(self) -> None:
-        """predict+evaluate each intermediate snapshot
-        (reference uni_pipeline.py:1021-1079)."""
+        """predict+evaluate each intermediate snapshot, then plot
+        metric-vs-iteration PNGs and export TensorBoard scalars
+        (reference uni_pipeline.py:1021-1079, plot_to_file common.py:449)."""
         self._ensure_initialized()
+        by_iter: Dict[int, Dict[str, float]] = {}
         for ckpt in self.intermediate_checkpoints():
             pf = self.ensure_predict(model_file=ckpt)
             if pf and op.isfile(pf):
-                self.ensure_evaluate(pf)
+                rep = self.ensure_evaluate(pf)
+                if rep:
+                    it = int(op.basename(ckpt).split("_")[-1]
+                             .split(".")[0])
+                    by_iter[it] = rep
+        if self.mpi_rank == 0 and by_iter:
+            self._plot_and_tensorboard(by_iter)
+
+    def _plot_and_tensorboard(self, by_iter: Dict[int, Dict[str, float]]
+                              ) -> None:
+        iters = sorted(by_iter)
+        metrics = sorted({k for r in by_iter.values() for k in r
+                          if isinstance(r[k], (int, float))})
+        img_dir = op.join(self.output_folder, "images")
+        ensure_directory(img_dir)
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            for m in metrics:
+                xs = [i for i in iters if m in by_iter[i]]
+                ys = [by_iter[i][m] for i in xs]
+                fig, ax = plt.subplots()
+                ax.plot(xs, ys, marker="o")
+                ax.set_xlabel("iteration")
+                ax.set_ylabel(m)
+                ax.grid(True)
+                fig.savefig(op.join(
+                    img_dir,
+                    f"map_{self.cfg.test_data}_{self.cfg.test_split}_{m}.png"))
+                plt.close(fig)
+        except Exception as e:                     # pragma: no cover
+            logging.info("plotting unavailable: %s", e)
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            with SummaryWriter(op.join(self.output_folder,
+                                       "tensorboard")) as w:
+                for i in iters:
+                    for m, v in by_iter[i].items():
+                        if isinstance(v, (int, float)):
+                            w.add_scalar(m, v, i)
+        except Exception as e:                     # pragma: no cover
+            logging.info("tensorboard unavailable: %s", e)

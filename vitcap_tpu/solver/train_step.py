@@ -102,6 +102,18 @@ def make_train_step(cfg: ModelConfig, hyper: TrainHyper,
             hit = (pred == batch["masked_ids"]).astype(jnp.float32) * w
             metrics["caption_acc"] = jnp.sum(hit) / jnp.maximum(
                 jnp.sum(w), 1.0)
+        if "tag_logits" in aux and "label" in batch:
+            # tag precision probe: per-sample top-k hit rate, k = #positives
+            # (reference MultiLabelAccuracy, tools/metric.py:40-100)
+            logits = aux["tag_logits"].astype(jnp.float32)
+            label = batch["label"]
+            k = jnp.sum(label, axis=1)                        # (B,)
+            rank = jnp.argsort(jnp.argsort(-logits, axis=1), axis=1)
+            hits = jnp.sum((label > 0) & (rank < k[:, None]), axis=1)
+            valid = k > 0
+            per = jnp.where(valid, 100.0 * hits / jnp.maximum(k, 1), 0.0)
+            metrics["tag_precision"] = jnp.sum(per) / jnp.maximum(
+                jnp.sum(valid), 1)
         return TrainState(new_params, new_opt, rng), metrics
 
     return step
@@ -109,11 +121,9 @@ def make_train_step(cfg: ModelConfig, hyper: TrainHyper,
 
 def make_jitted_train_step(cfg: ModelConfig, hyper: TrainHyper,
                            mesh=None, loss_fn: Optional[Callable] = None):
-    """jit with donated state; if a mesh is given, annotate batch sharding
-    over the data axis (params replicated / TP-sharded as placed)."""
+    """jit with donated state.  Sharding is placement-driven: params are
+    placed by parallel.mesh.shard_params (replicated or TP-sharded) and the
+    batch by shard_batch (data axis); jit propagates those placements, so
+    scalars riding in the batch (e.g. gen_tag_ratio) stay replicated."""
     step = make_train_step(cfg, hyper, loss_fn)
-    if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
-    from ..parallel.mesh import batch_sharding
-    return jax.jit(step, donate_argnums=(0,),
-                   in_shardings=(None, batch_sharding(mesh)))
+    return jax.jit(step, donate_argnums=(0,))

@@ -63,6 +63,14 @@ class MetricLogger:
             f"{name}: {m.median:.4f} ({m.global_avg:.4f})"
             for name, m in self.meters.items())
 
+    def get_info(self) -> Dict[str, Dict[str, float]]:
+        """Serializable meter snapshot (the reference's
+        ForwardPassTimeChecker.get_time_info returned 'Not implemented';
+        this actually reports)."""
+        return {name: {"median": m.median, "global_avg": m.global_avg,
+                       "count": m.count}
+                for name, m in self.meters.items()}
+
 
 class MeanSigmaMetricLogger:
     """Accumulate mean and stddev per key (used by the forward-pass profiler)."""
