@@ -98,7 +98,10 @@ def test_full_scst_step(setup):
     hyper = TrainHyper(base_lr=1e-4, max_iter=10)
     scfg = S.ScstConfig(num_return=2)
     decode_fn, grad_fn = S.make_scst_fns(TCFG, OPTS, scfg, hyper)
-    state = init_train_state(params, jax.random.PRNGKey(0))
+    # copy: grad_fn donates its state and params come from a shared fixture
+    params_copy = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                         params)
+    state = init_train_state(params_copy, jax.random.PRNGKey(0))
     reward = S.ScstReward(baseline_type="greedy")
     batch = {"image": images, "od_ids": od_ids, "seq_len": seq_len}
     gt = [["a dog runs across the field", "the dog runs"],
