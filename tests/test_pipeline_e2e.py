@@ -160,3 +160,35 @@ def test_scst_pipeline(workdir):
     pip.ensure_train()
     out = workdir / "output" / "tinycoco_tiny_scst" / "snapshot"
     assert (out / "model_iter_0000002.ckpt").is_file()
+
+
+def test_vinvl_category_pipeline(workdir):
+    """category='vinvl': 2027-way tag head + vinvl tagger tensorizer."""
+    import run as R
+    param = _param(workdir)
+    param.update({"expid": "vinvl", "category": "vinvl",
+                  "tokenizer_file": "/root/reference/yaml/vinvl_label.json",
+                  "max_iter": 2, "snapshot_steps": 10})
+    pip = R.create_pipeline(param)
+    assert pip.model_cfg.tag_vocab_size == 2027
+    tt = pip.tagger_tensorizer()
+    out = tt.tensorize([{"class": "dog", "conf": 0.9}], "a dog runs")
+    assert out["label"].shape == (2027,) and out["label"].sum() == 1
+    pip.ensure_train()
+    out_dir = workdir / "output" / "tinycoco_tiny_vinvl" / "snapshot"
+    assert (out_dir / "model_iter_0000002.ckpt").is_file()
+
+
+def test_tie_tag_weights_model():
+    import jax
+    import jax.numpy as jnp
+    from vitcap_tpu.models.config import tiny_config
+    from vitcap_tpu.models import vitcap as M
+    cfg = tiny_config(tie_tag_weights=True)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    assert "kernel" not in params["tag_logit"]["decoder"]
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(1, cfg.img_size, cfg.img_size, 3),
+                      jnp.float32)
+    out = M.encode_images(params, img, cfg)
+    assert out["tag_logits"].shape == (1, cfg.tag_vocab_size)

@@ -184,7 +184,8 @@ class VinvlTaggerTensorizer:
         self.label_to_idx = label_to_idx
         self.threshold = threshold
 
-    def tensorize(self, labels: List[dict]) -> Dict[str, np.ndarray]:
+    def tensorize(self, labels: List[dict],
+                  caption: Optional[str] = None) -> Dict[str, np.ndarray]:
         label = np.zeros(len(self.label_to_idx), dtype=np.float32)
         for tag in labels:
             if tag.get("conf", 1.0) >= self.threshold:

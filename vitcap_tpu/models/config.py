@@ -68,6 +68,9 @@ class ModelConfig:
     # wiring
     tagemb: str = "cls"                  # tag embeddings from tied LM-head weight
     tie_weights: bool = True
+    tie_tag_weights: bool = False        # tie tag head to word embeddings
+                                         # (reference modeling_bert.py:723-726;
+                                         # requires tag_vocab_size == vocab_size)
     mask_type: str = "seq2seq"
     # concept injection at decode: 'raw' = train-branch semantics (plain
     # tied-weight lookup, modeling_bert.py:1437-1470 — the path real-scale

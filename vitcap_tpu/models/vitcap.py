@@ -136,7 +136,8 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> Params:
         "extra_embeddings": _embeddings_init(ks[6], cfg),
         "pooler": {"dense": _dense_init(ks[7], h, h)},
         "caption_pooler": {"dense": _dense_init(ks[8], h, h)},
-        "tag_logit": _lm_head_init(ks[9], cfg, cfg.tag_vocab_size, tied=False),
+        "tag_logit": _lm_head_init(ks[9], cfg, cfg.tag_vocab_size,
+                                   tied=cfg.tie_tag_weights),
         "decoder": {"layer": [
             _bert_layer_init(k, cfg)
             for k in jax.random.split(ks[10], cfg.decoder_layers)]},
@@ -218,7 +219,9 @@ def split_encoder(params: Params, visual_in: jnp.ndarray, cfg: ModelConfig
 def tag_logits_from_hidden(params: Params, tag_hidden: jnp.ndarray,
                            cfg: ModelConfig) -> jnp.ndarray:
     pooled = bert_pooler(params["pooler"], tag_hidden)
-    return lm_head(params["tag_logit"], pooled, cfg.bert_layer_norm_eps)
+    tied = word_embedding_weight(params) if cfg.tie_tag_weights else None
+    return lm_head(params["tag_logit"], pooled, cfg.bert_layer_norm_eps,
+                   decoder_weight=tied)
 
 
 def select_tags(tag_logits: jnp.ndarray, cfg: ModelConfig

@@ -123,6 +123,11 @@ class CaptionUniPipeline(UniPipeline):
         net = self.cfg.image_encoder_type
         if "patch32" in net:
             patch = 32
+        # category 'vinvl': tag head over the detector label vocab
+        # (reference modeling_bert.py:1327-1333, yaml/vinvl_label.json)
+        tag_vocab_size = j["vocab_size"]
+        if self.cfg.category == "vinvl":
+            tag_vocab_size = len(self.vinvl_vocab["label_to_idx"])
         self._model_cfg = ModelConfig(
             hidden_size=j["hidden_size"],
             num_attention_heads=j["num_attention_heads"],
@@ -133,7 +138,7 @@ class CaptionUniPipeline(UniPipeline):
             vocab_size=j["vocab_size"],
             max_position_embeddings=j["max_position_embeddings"],
             type_vocab_size=j["type_vocab_size"],
-            tag_vocab_size=j["vocab_size"],
+            tag_vocab_size=tag_vocab_size,
             img_size=img_size,
             patch_size=patch,
             bert_layer_norm_eps=j["layer_norm_eps"],
@@ -149,6 +154,7 @@ class CaptionUniPipeline(UniPipeline):
             tag_loss_weight=float(self.cfg.tag_loss_weight),
             tagemb=self.cfg.tagemb,
             tie_weights=bool(self.cfg.tie_weights),
+            tie_tag_weights=bool(self.cfg.get("tie_tag_weights") or False),
             mask_type=self.cfg.mask_type,
             dtype=self.cfg.compute_dtype,
         )
@@ -174,7 +180,20 @@ class CaptionUniPipeline(UniPipeline):
             max_seq_a_length=self.cfg.max_gen_length,
             is_train=False)
 
-    def tagger_tensorizer(self) -> CaptionTaggerTensorizer:
+    @property
+    def vinvl_vocab(self) -> Dict[str, Any]:
+        """{'label_to_idx', 'idx_to_label'} from cfg.tokenizer_file
+        (reference tag_tokenizer, yaml/vinvl_label.json)."""
+        path = self.cfg.get("tokenizer_file") or \
+            "/root/reference/yaml/vinvl_label.json"
+        return json.load(open(path))
+
+    def tagger_tensorizer(self):
+        if self.cfg.category == "vinvl":
+            from ..data.tensorizers import VinvlTaggerTensorizer
+            return VinvlTaggerTensorizer(
+                self.vinvl_vocab["label_to_idx"],
+                threshold=self.cfg.od_label_conf)
         return CaptionTaggerTensorizer(
             self.tokenizer, threshold=self.cfg.od_label_conf,
             category=self.cfg.category, encode=self.cfg.encode)
