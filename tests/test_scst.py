@@ -143,3 +143,35 @@ def test_gen_tag_ratio_curriculum(setup):
     l_ratio0, _ = M.forward_train(
         params, dict(batch, gen_tag_ratio=jnp.asarray(0.0)), TCFG, rng=key)
     assert abs(float(l_ratio0) - float(l_plain)) > 1e-7  # GT tags injected
+
+
+def test_scst_with_token_sampling(setup):
+    """SCST with 70% visual-token sampling (reference TokenSample)."""
+    from vitcap_tpu.data.tokenization import BertTokenizer
+    from vitcap_tpu.solver.train_step import TrainHyper, init_train_state
+    params, images, od_ids, seq_len = setup
+    tok = BertTokenizer(
+        "/root/reference/yaml/VILT-L12-H784-uncased_16_384/vocab.txt")
+    hyper = TrainHyper(base_lr=1e-4, max_iter=10)
+    scfg = S.ScstConfig(num_return=2, visual_token_ratio=0.7)
+    decode_fn, grad_fn = S.make_scst_fns(TCFG, OPTS, scfg, hyper)
+    params_copy = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                         params)
+    state = init_train_state(params_copy, jax.random.PRNGKey(0))
+    reward = S.ScstReward(baseline_type="greedy")
+    batch = {"image": images, "od_ids": od_ids, "seq_len": seq_len}
+    gt = [["a dog runs"], ["a man rides"]]
+    state, metrics = S.scst_train_step(decode_fn, grad_fn, reward, tok,
+                                       state, batch, gt,
+                                       jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["scst_loss"]))
+
+
+def test_sample_visual_token_idx():
+    idx = M.sample_visual_token_idx(jax.random.PRNGKey(0), 3, 10, 6)
+    arr = np.asarray(idx)
+    assert arr.shape == (3, 6)
+    assert (arr[:, 0] == 0).all()                 # CLS kept
+    for row in arr:
+        assert len(set(row.tolist())) == 6        # no duplicates
+        assert (row[1:] >= 1).all() and (row < 10).all()

@@ -91,7 +91,9 @@ def build_context_embeddings(params: Params, images: jnp.ndarray,
                              od_ids: jnp.ndarray,
                              od_token_type_ids: Optional[jnp.ndarray],
                              seq_len: jnp.ndarray, cfg: ModelConfig,
-                             opts: DecodeOptions) -> Dict[str, Any]:
+                             opts: DecodeOptions,
+                             visual_token_idx: Optional[jnp.ndarray] = None
+                             ) -> Dict[str, Any]:
     """Vision + tag selection + pre-decoder context embeddings
     [od/tag slots, tagCLS, visual] and their validity mask.
 
@@ -104,7 +106,7 @@ def build_context_embeddings(params: Params, images: jnp.ndarray,
     """
     B, od_len = od_ids.shape
     dtype = cfg.compute_dtype
-    enc = M.encode_images(params, images, cfg)
+    enc = M.encode_images(params, images, cfg, visual_token_idx)
 
     # od/tag text slots: positions start at max(od_labels_start_posid,
     # max_length) (reference generate :958)
@@ -140,11 +142,13 @@ def build_decode_context(params: Params, images: jnp.ndarray,
                          od_ids: jnp.ndarray,
                          od_token_type_ids: Optional[jnp.ndarray],
                          seq_len: jnp.ndarray, cfg: ModelConfig,
-                         opts: DecodeOptions) -> Dict[str, Any]:
+                         opts: DecodeOptions,
+                         visual_token_idx: Optional[jnp.ndarray] = None
+                         ) -> Dict[str, Any]:
     """build_context_embeddings + decoder-layer K/V prefill over the static
     context (valid because context tokens never attend caption tokens)."""
     ce = build_context_embeddings(params, images, od_ids, od_token_type_ids,
-                                  seq_len, cfg, opts)
+                                  seq_len, cfg, opts, visual_token_idx)
     ctx, ctx_valid, od_len = ce["ctx"], ce["ctx_valid"], ce["od_len"]
     B, S_ctx, _ = ctx.shape
 

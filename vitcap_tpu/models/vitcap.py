@@ -239,12 +239,30 @@ def word_embedding_weight(params: Params) -> jnp.ndarray:
     return params["embeddings"]["word_embeddings"]
 
 
-def encode_images(params: Params, images: jnp.ndarray, cfg: ModelConfig
+def sample_visual_token_idx(rng: jax.Array, batch: int, n_tokens: int,
+                            keep: int) -> jnp.ndarray:
+    """Random visual-token subset per row, always keeping token 0 (CLS)
+    (reference TokenSample …expanding.py:68-86; README's ~70% sampling for
+    SCST memory relief)."""
+    scores = jax.random.uniform(rng, (batch, n_tokens - 1))
+    _, idx = jax.lax.top_k(scores, keep - 1)
+    return jnp.concatenate(
+        [jnp.zeros((batch, 1), idx.dtype), idx + 1], axis=1)
+
+
+def encode_images(params: Params, images: jnp.ndarray, cfg: ModelConfig,
+                  visual_token_idx: Optional[jnp.ndarray] = None
                   ) -> Dict[str, jnp.ndarray]:
-    """Vision once: patch embed -> split encoder -> tag logits + selection."""
+    """Vision once: patch embed -> split encoder -> tag logits + selection.
+
+    visual_token_idx: optional (B, keep) token subset (TokenSample) applied
+    AFTER pos-embed, so the trunk runs on fewer tokens."""
     dtype = cfg.compute_dtype
     visual_in = vision_embed(params["image_encoder"],
                              images.astype(dtype), cfg.patch_size)
+    if visual_token_idx is not None:
+        visual_in = jnp.take_along_axis(
+            visual_in, visual_token_idx[..., None], axis=1)
     cap_hidden, tag_hidden = split_encoder(params, visual_in, cfg)
     tag_logits = tag_logits_from_hidden(params, tag_hidden, cfg)
     pred_topk, tag_probs, n_conf = select_tags(tag_logits, cfg)

@@ -395,7 +395,9 @@ class CaptionUniPipeline(UniPipeline):
         opts = self.decode_options()
         scfg = ScstConfig(num_return=int(self.cfg.scst_num_return),
                           baseline_type=self.cfg.sc_baseline_type,
-                          cider_cached_tokens=self.cfg.cider_cached_tokens)
+                          cider_cached_tokens=self.cfg.cider_cached_tokens,
+                          visual_token_ratio=float(
+                              self.cfg.get("random_token_sample") or 1.0))
         decode_fn, grad_fn = make_scst_fns(cfg, opts, scfg, hyper)
         df = self.cfg.cider_cached_tokens
         reward = ScstReward(

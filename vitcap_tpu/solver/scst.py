@@ -99,7 +99,8 @@ def score_caption_logprobs(params: Params, images: jnp.ndarray,
                            seq_len: jnp.ndarray,
                            caption_ids: jnp.ndarray,
                            cfg: ModelConfig, opts: D.DecodeOptions,
-                           target_ids: Optional[jnp.ndarray] = None
+                           target_ids: Optional[jnp.ndarray] = None,
+                           visual_token_idx: Optional[jnp.ndarray] = None
                            ) -> jnp.ndarray:
     """Mean per-token logprob of a caption (Bk, A) under the model,
     Bk = B * num_return (images are repeated internally).  Matches the
@@ -117,7 +118,8 @@ def score_caption_logprobs(params: Params, images: jnp.ndarray,
     K = Bk // B
 
     ce = D.build_context_embeddings(params, images, od_ids,
-                                    od_token_type_ids, seq_len, cfg, opts)
+                                    od_token_type_ids, seq_len, cfg, opts,
+                                    visual_token_idx)
     ctx, ctx_valid = ce["ctx"], ce["ctx_valid"]
     if K > 1:
         ctx = jnp.repeat(ctx, K, axis=0)
@@ -182,6 +184,9 @@ class ScstConfig:
     num_return: int = 2               # cfg.scst_num_return
     baseline_type: str = "greedy"
     cider_cached_tokens: str = "corpus"
+    # TokenSample: fraction of visual tokens kept during SCST (reference
+    # cfg.random_token_sample, ~0.7 per README, for memory relief)
+    visual_token_ratio: float = 1.0
 
 
 def make_scst_fns(cfg: ModelConfig, opts: D.DecodeOptions,
@@ -203,30 +208,41 @@ def make_scst_fns(cfg: ModelConfig, opts: D.DecodeOptions,
     sample_opts = dataclasses.replace(opts, num_beams=1, do_sample=True,
                                       num_return_sequences=scst.num_return)
 
+    n_vis = cfg.num_visual_tokens
+    keep = int(round(scst.visual_token_ratio * n_vis)) \
+        if scst.visual_token_ratio < 1.0 else n_vis
+
     def decode_fn(params, images, od_ids, tt, seq_len, rng):
+        r_tok, rng = jax.random.split(rng)
+        vidx = M.sample_visual_token_idx(
+            r_tok, images.shape[0], n_vis, keep) if keep < n_vis else None
         ctx = D.build_decode_context(params, images, od_ids, tt, seq_len,
-                                     cfg, greedy_opts)
+                                     cfg, greedy_opts, vidx)
         g = D.generate_greedy(params, images, od_ids, tt, seq_len, cfg,
                               greedy_opts, ctx=ctx)
         s = D.generate_greedy(params, images, od_ids, tt, seq_len, cfg,
                               sample_opts, rng=rng, ctx=ctx)
         A = sample_opts.max_length
+        if vidx is None:
+            vidx = jnp.zeros((images.shape[0], 0), jnp.int32)
         return (g["ids"][:, 0], s["ids"].reshape(-1, A),
-                s["raw_tokens"].reshape(-1, A - 1))
+                s["raw_tokens"].reshape(-1, A - 1), vidx)
 
     schedule = warmup_linear(hyper.warmup_steps, hyper.max_iter)
     opt_cfg = AdamWConfig(base_lr=hyper.base_lr, eps=hyper.eps,
                           grad_clip=hyper.grad_clip)
 
     def grad_step(state: TrainState, batch, sample_ids, raw_tokens,
-                  advantages):
+                  advantages, vidx):
         rng, _ = jax.random.split(state.rng)
+        vti = vidx if vidx.shape[1] > 0 else None
 
         def lossf(p):
             lp = score_caption_logprobs(
                 p, batch["image"], batch["od_ids"],
                 batch.get("od_token_type_ids"), batch["seq_len"],
-                sample_ids, cfg, opts, target_ids=raw_tokens)
+                sample_ids, cfg, opts, target_ids=raw_tokens,
+                visual_token_idx=vti)
             return jnp.mean(-lp * advantages), lp
 
         (loss, lp), grads = jax.value_and_grad(lossf, has_aux=True)(
@@ -250,7 +266,7 @@ def scst_train_step(decode_fn, grad_step_fn, reward: ScstReward,
                     tokenizer, state, batch: Dict[str, Any],
                     gt_captions: List[List[str]], rng) -> Tuple[Any, Dict]:
     """One full SCST iteration (decode -> host reward -> grad)."""
-    greedy_ids, sample_ids, raw_tokens = decode_fn(
+    greedy_ids, sample_ids, raw_tokens, vidx = decode_fn(
         state.params, batch["image"], batch["od_ids"],
         batch.get("od_token_type_ids"), batch["seq_len"], rng)
     greedy = [tokenizer.decode(list(map(int, r)), skip_special_tokens=True)
@@ -259,7 +275,7 @@ def scst_train_step(decode_fn, grad_step_fn, reward: ScstReward,
                for r in np.asarray(sample_ids)]
     adv = reward(gt_captions, greedy, samples)
     state, metrics = grad_step_fn(state, batch, sample_ids, raw_tokens,
-                                  jnp.asarray(adv))
+                                  jnp.asarray(adv), vidx)
     metrics = dict(metrics)
     metrics["cider_score"] = reward.get_score()
     return state, metrics
