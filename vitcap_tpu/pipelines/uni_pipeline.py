@@ -188,6 +188,10 @@ class UniPipeline:
     def _ensure_initialized(self) -> None:
         if self.initialized:
             return
+        from ..parallel.distributed import ensure_init_distributed
+        ensure_init_distributed()
+        self.mpi_rank = get_mpi_rank()
+        self.mpi_size = get_mpi_size()
         ensure_directory(self.output_folder)
         ensure_directory(self.model_folder)
         init_logging(self.mpi_rank, self.output_folder)
@@ -262,10 +266,8 @@ class UniPipeline:
         return predict_file
 
     def _barrier(self) -> None:
-        if self.mpi_size > 1:                      # pragma: no cover
-            import jax
-            from jax.experimental import multihost_utils
-            multihost_utils.sync_global_devices("vitcap_barrier")
+        from ..parallel.distributed import barrier
+        barrier("vitcap_pipeline")
 
     def load_test_model(self, model_file: str):
         raise NotImplementedError
