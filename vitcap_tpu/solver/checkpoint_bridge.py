@@ -222,3 +222,21 @@ def params_to_torch_state_dict(params: Params) -> Dict[str, np.ndarray]:
         prefix = "module." if not torch_name.startswith("image_encoder") else ""
         out[prefix + torch_name] = a
     return out
+
+
+def convert_vit_cls_state_dict_to_caption(sd: Dict[str, np.ndarray]
+                                          ) -> Dict[str, np.ndarray]:
+    """Re-key a classification-pretrained ViT state dict into the caption
+    checkpoint namespace (reference convert_vit_cls_model_to_caption,
+    …expanding.py:89-106 / torch_common.py:374-391): transformer blocks go
+    under 'module.bert.encoder.', everything else (patch embed, cls token,
+    pos embed) under 'image_encoder.module.'."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        while k.startswith("module."):
+            k = k[len("module."):]
+        if k.startswith("blocks."):
+            out["module.bert.encoder." + k] = v
+        else:
+            out["image_encoder.module." + k] = v
+    return out
