@@ -476,3 +476,36 @@ def forward_score(params: Params, images: jnp.ndarray,
     hidden = fusion_decoder(params, seq, bias, cfg)
     logits = caption_logits(params, hidden[:, :Tin], cfg)
     return {"class_logits": logits, **enc}
+
+
+def resize_word_embeddings(params: Params, cfg: ModelConfig, new_size: int,
+                           rng: Optional[jax.Array] = None) -> Params:
+    """Grow/shrink the (tied) word-embedding table, keeping existing rows
+    (reference PreTrainedModel.resize_token_embeddings,
+    modeling_utils.py:245-315)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    params = dict(params)
+    emb = dict(params["embeddings"])
+    old = emb["word_embeddings"]
+    old_n, h = old.shape
+    if new_size == old_n:
+        return params
+    new = _trunc_normal(rng, (new_size, h)).astype(old.dtype)
+    n = min(old_n, new_size)
+    emb["word_embeddings"] = new.at[:n].set(old[:n])
+    params["embeddings"] = emb
+    cls = dict(params["cls"])
+    dec = dict(cls["decoder"])
+    if "bias" in dec:
+        old_b = dec["bias"]
+        new_b = jnp.zeros((new_size,), old_b.dtype)
+        dec["bias"] = new_b.at[:n].set(old_b[:n])
+    if "kernel" in dec:
+        old_k = dec["kernel"]
+        new_k = _trunc_normal(jax.random.fold_in(rng, 1),
+                              (h, new_size)).astype(old_k.dtype)
+        dec["kernel"] = new_k.at[:, :n].set(old_k[:, :n])
+    cls["decoder"] = dec
+    params["cls"] = cls
+    return params

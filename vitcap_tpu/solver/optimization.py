@@ -220,3 +220,23 @@ def adamw_update(grads: Params, state: AdamWState, params: Params,
     new_m = treedef.unflatten([o[1] for o in out])
     new_v = treedef.unflatten([o[2] for o in out])
     return new_p, AdamWState(step, new_m, new_v)
+
+
+def warmup_multi_step(warmup_steps: int, milestones, gamma: float = 0.1,
+                      warmup_factor: float = 1.0 / 3) -> Callable:
+    """WarmupMultiStepLR (reference src/solver/lr_scheduler.py:60-103):
+    linear warmup from warmup_factor, then gamma^len(passed milestones)."""
+    ms = jnp.asarray(sorted(milestones), jnp.float32)
+
+    def f(step):
+        step = jnp.asarray(step, jnp.float32)
+        alpha = jnp.where(warmup_steps > 0,
+                          step / jnp.maximum(1.0, warmup_steps), 1.0)
+        warm = jnp.where(step < warmup_steps,
+                         warmup_factor * (1 - alpha) + alpha, 1.0)
+        decay = gamma ** jnp.sum(step >= ms)
+        return warm * decay
+    return f
+
+
+SCHEDULES["multistep"] = warmup_multi_step
