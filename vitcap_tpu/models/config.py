@@ -82,6 +82,11 @@ class ModelConfig:
 
     # numerics
     dtype: str = "float32"               # compute dtype: 'float32' | 'bfloat16'
+    remat: bool = True                   # jax.checkpoint each transformer
+                                         # block: without it the saved
+                                         # attention-prob activations alone
+                                         # exceed HBM at training batch sizes
+                                         # (no-op for forward-only jits)
 
     @property
     def head_dim(self) -> int:

@@ -203,16 +203,20 @@ def split_encoder(params: Params, visual_in: jnp.ndarray, cfg: ModelConfig
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """12 ViT blocks; fork at depth-split_blocks into the tag branch
     (reference TIMMVitSplitEncoder modeling_bert.py:440-478)."""
+    def blk_fn(blk, x):
+        return vit_block(blk, x, cfg.num_attention_heads,
+                         cfg.vit_layer_norm_eps)
+    if cfg.remat:
+        blk_fn = jax.checkpoint(blk_fn)
     x = visual_in
     fork_at = cfg.num_hidden_layers - cfg.split_blocks
     tag_x = None
     for idx, blk in enumerate(params["encoder"]["blocks"]):
         if idx == fork_at:
             tag_x = x
-        x = vit_block(blk, x, cfg.num_attention_heads, cfg.vit_layer_norm_eps)
+        x = blk_fn(blk, x)
     for blk in params["encoder"]["tag_blocks"]:
-        tag_x = vit_block(blk, tag_x, cfg.num_attention_heads,
-                          cfg.vit_layer_norm_eps)
+        tag_x = blk_fn(blk, tag_x)
     return x, tag_x
 
 
@@ -296,14 +300,18 @@ def embed_text_with_tags(params: Params, input_ids: jnp.ndarray,
 def fusion_decoder(params: Params, seq: jnp.ndarray, bias: jnp.ndarray,
                    cfg: ModelConfig, rng: Optional[jax.Array] = None,
                    deterministic: bool = True) -> jnp.ndarray:
+    def layer_fn(layer, x, bias, lrng):
+        return bert_layer(layer, x, bias, cfg.num_attention_heads,
+                          cfg.bert_layer_norm_eps,
+                          hidden_dropout=cfg.hidden_dropout_prob,
+                          attn_dropout=cfg.attention_probs_dropout_prob,
+                          rng=lrng, deterministic=deterministic)
+    if cfg.remat:
+        layer_fn = jax.checkpoint(layer_fn)
     x = seq
     for li, layer in enumerate(params["decoder"]["layer"]):
         lrng = jax.random.fold_in(rng, li) if rng is not None else None
-        x = bert_layer(layer, x, bias, cfg.num_attention_heads,
-                       cfg.bert_layer_norm_eps,
-                       hidden_dropout=cfg.hidden_dropout_prob,
-                       attn_dropout=cfg.attention_probs_dropout_prob,
-                       rng=lrng, deterministic=deterministic)
+        x = layer_fn(layer, x, bias, lrng)
     return x
 
 

@@ -321,6 +321,10 @@ class CaptionUniPipeline(UniPipeline):
             gen_tag_ratio = 0.05           # reference …bertemb.py:95-96
         elif self.cfg.get("pred_tag_train"):
             gen_tag_ratio = 1.0
+
+        # host batches are prefetched by the thread-pool DataLoader; the
+        # device transfer + step dispatch below are async, so host prep of
+        # batch N+1 overlaps device compute of batch N
         for batch in loader:
             data_time = time.time() - t_end
             dev = self._device_train_batch(batch, mesh, shard_batch)
