@@ -133,14 +133,20 @@ def test_native_cider_speed():
     gts = {f"k{i}": [" ".join(rng.choice(words, 12)) for _ in range(5)]
            for i in range(128)}
     res = {k: [" ".join(rng.choice(words, 12))] for k in gts}
-    t0 = time.perf_counter(); out_n = ciderd_corpus_native(gts, res)
-    t_native = time.perf_counter() - t0
+    # best-of-3 on each side: wall-clock comparisons are noisy under a
+    # loaded test runner (first native call also pays the dlopen cost)
+    t_native = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter(); out_n = ciderd_corpus_native(gts, res)
+        t_native = min(t_native, time.perf_counter() - t0)
     import os
     os.environ["VITCAP_NATIVE_CIDER"] = "0"
     try:
-        t0 = time.perf_counter()
-        out_p = CiderD(df="corpus").compute_score(gts, res)
-        t_py = time.perf_counter() - t0
+        t_py = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out_p = CiderD(df="corpus").compute_score(gts, res)
+            t_py = min(t_py, time.perf_counter() - t0)
     finally:
         del os.environ["VITCAP_NATIVE_CIDER"]
     np.testing.assert_allclose(out_n[1], out_p[1], rtol=1e-9)
