@@ -181,7 +181,8 @@ def _bert_layer_full(layer: Params, x: jnp.ndarray, bias: jnp.ndarray,
                      cfg: ModelConfig) -> jnp.ndarray:
     from .layers import bert_layer
     return bert_layer(layer, x, bias, cfg.num_attention_heads,
-                      cfg.bert_layer_norm_eps)
+                      cfg.bert_layer_norm_eps,
+                      scores_dtype=cfg.attention_scores_dtype)
 
 
 # ---------------------------------------------------------------------------
