@@ -151,3 +151,49 @@ def test_native_cider_speed():
         del os.environ["VITCAP_NATIVE_CIDER"]
     np.testing.assert_allclose(out_n[1], out_p[1], rtol=1e-9)
     assert t_native < t_py, (t_native, t_py)
+
+
+# ---------------------------------------------------------------------------
+# SPICE-lite
+# ---------------------------------------------------------------------------
+
+def test_spice_tuple_extraction():
+    from vitcap_tpu.evals.spice import extract_tuples
+    t = extract_tuples("a brown dog sits on a wooden bench".split())
+    # objects
+    assert ("dog",) in t and ("bench",) in t
+    # attributes
+    assert ("dog", "brown") in t and ("bench", "wooden") in t
+    # relation (stemmed predicate)
+    rels = [x for x in t if len(x) == 3]
+    assert any(s == "dog" and o == "bench" and "on" in p
+               for s, p, o in rels), rels
+
+
+def test_spice_compound_and_copula():
+    from vitcap_tpu.evals.spice import extract_tuples
+    t = extract_tuples("the fire hydrant is on the sidewalk".split())
+    assert ("hydrant",) in t
+    assert ("hydrant", "fire") in t          # compound modifier
+    assert ("hydrant", "on", "sidewalk") in t
+
+
+def test_spice_scores_order_quality():
+    from vitcap_tpu.evals.spice import spice
+    gts = {"k": ["a brown dog sits on a wooden bench",
+                 "a dog is sitting on a bench in a park"]}
+    good = {"k": ["a dog sitting on a bench"]}
+    bad = {"k": ["a red car drives down the highway"]}
+    s_good, _ = spice(gts, good)
+    s_bad, _ = spice(gts, bad)
+    assert s_good > s_bad
+    assert s_bad == 0.0
+    # identity scores highest
+    s_same, _ = spice(gts, {"k": [gts["k"][0]]})
+    assert s_same >= s_good
+
+
+def test_spice_in_report():
+    out = compute_all_metrics(GTS, RES)
+    assert "SPICE" in out and 0.0 <= out["SPICE"] <= 1.0
+    assert out["SPICE"] > 0.3      # these candidates share most tuples

@@ -5,7 +5,10 @@ JVM-free equivalent of the reference evaluate_on_coco_caption
 converts the prediction TSV (key, json [{'caption', 'conf'}]) and the
 ground-truth caption TSV / COCO json into tokenized maps, runs the native
 scorers (evals.metrics via evals.ptb) and writes `<predict>.report` json
-with {Bleu_1..4, METEOR, ROUGE_L, CIDEr}.
+with {Bleu_1..4, METEOR, ROUGE_L, CIDEr, SPICE}.
+
+SPICE is the JVM-free SPICE-lite tuple-F1 (evals/spice.py) — it tracks the
+Java scorer's ranking, not its absolute values.
 """
 
 from __future__ import annotations

@@ -305,4 +305,6 @@ def compute_all_metrics(gts: Dict[str, List[str]],
     out["METEOR"], _ = meteor(gts, res)
     out["ROUGE_L"], _ = rouge_l(gts, res)
     out["CIDEr"], _ = cider(gts, res)
-    return out
+    from .spice import spice
+    out["SPICE"], _ = spice(gts, res)   # SPICE-lite (see evals/spice.py):
+    return out                          # tuple-F1 without the Java parser
