@@ -1,0 +1,167 @@
+"""Model registry/factory tests: the timm-zoo equivalent surface
+(create_model / register_model / checkpoint loading / pos-embed interp)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vitcap_tpu.models import registry as R
+
+
+def test_registry_listing():
+    names = R.list_models()
+    assert "vit_base_patch16_384" in names
+    assert "deit_base_patch16_224" in names
+    assert len(names) >= 12
+    assert R.is_model("vit_tiny_patch16_224")
+    assert not R.is_model("resnet50")
+    with pytest.raises(ValueError):
+        R.model_spec("nope_model")
+
+
+def test_register_decorator():
+    @R.register_model
+    def vit_test_dummy(**kw):
+        return R.VisionModelSpec(name="vit_test_dummy", patch_size=16,
+                                 hidden_size=32, depth=1, num_heads=2, **kw)
+    try:
+        assert R.is_model("vit_test_dummy")
+        spec = R.model_spec("vit_test_dummy")
+        assert spec.intermediate_size == 128
+    finally:
+        del R._REGISTRY["vit_test_dummy"]
+
+
+def test_create_model_forward_shapes():
+    m = R.create_model("vit_tiny_patch16_224", img_size=32, num_classes=10)
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    feats = jax.jit(lambda p, x: m.apply(p, x))(m.params, imgs)
+    assert feats.shape == (2, 1 + 4, 192)            # CLS + 2x2 grid
+    logits = jax.jit(lambda p, x: m.apply(p, x, head=True))(m.params, imgs)
+    assert logits.shape == (2, 10)
+
+
+def test_spec_grid_and_sizes():
+    s = R.model_spec("vit_base_patch32_384")
+    assert (s.patch_size, s.hidden_size, s.depth, s.num_heads) == \
+        (32, 768, 12, 12)
+    assert s.grid == 12
+    s = R.model_spec("vit_large_patch16_384")
+    assert (s.hidden_size, s.depth, s.num_heads) == (1024, 24, 16)
+
+
+def _tiny_timm_state_dict(spec, grid_old, seed=0):
+    """A minimal torch-layout timm ViT state dict with random weights."""
+    import torch
+    g = torch.Generator().manual_seed(seed)
+    h, I = spec.hidden_size, spec.intermediate_size
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g)
+
+    sd = {
+        "patch_embed.proj.weight": t(h, 3, spec.patch_size, spec.patch_size),
+        "patch_embed.proj.bias": t(h),
+        "cls_token": t(1, 1, h),
+        "pos_embed": t(1, grid_old * grid_old + 1, h),
+        "norm.weight": t(h), "norm.bias": t(h),
+        "head.weight": t(spec.num_classes, h), "head.bias": t(spec.num_classes),
+    }
+    for i in range(spec.depth):
+        sd.update({
+            f"blocks.{i}.norm1.weight": t(h), f"blocks.{i}.norm1.bias": t(h),
+            f"blocks.{i}.attn.qkv.weight": t(3 * h, h),
+            f"blocks.{i}.attn.qkv.bias": t(3 * h),
+            f"blocks.{i}.attn.proj.weight": t(h, h),
+            f"blocks.{i}.attn.proj.bias": t(h),
+            f"blocks.{i}.norm2.weight": t(h), f"blocks.{i}.norm2.bias": t(h),
+            f"blocks.{i}.mlp.fc1.weight": t(I, h),
+            f"blocks.{i}.mlp.fc1.bias": t(I),
+            f"blocks.{i}.mlp.fc2.weight": t(h, I),
+            f"blocks.{i}.mlp.fc2.bias": t(h),
+        })
+    return sd
+
+
+def test_timm_checkpoint_load_matches_torch(tmp_path):
+    """Load a torch timm state dict and compare the forward against the
+    same math in torch."""
+    import torch
+    spec = R.model_spec("vit_tiny_patch16_224")
+    spec = R.VisionModelSpec(**{**spec.__dict__, "img_size": 32,
+                                "depth": 2, "num_classes": 5})
+    sd = _tiny_timm_state_dict(spec, grid_old=spec.grid)
+    pt = tmp_path / "vit.pth"
+    torch.save(sd, pt)
+
+    params = R.init_vision_params(jax.random.PRNGKey(0), spec)
+    params = R.load_timm_checkpoint(params, str(pt), spec)
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(2, 32, 32, 3).astype(np.float32)
+    ours = np.asarray(R.vit_forward(params, jnp.asarray(imgs), spec,
+                                    head=True))
+
+    # torch-side reference forward (same formulas)
+    x = torch.from_numpy(imgs).permute(0, 3, 1, 2)
+    w = sd["patch_embed.proj.weight"]
+    px = torch.nn.functional.conv2d(x, w, sd["patch_embed.proj.bias"],
+                                    stride=spec.patch_size)
+    B, H, gh, gw = px.shape
+    px = px.flatten(2).transpose(1, 2)
+    cls = sd["cls_token"].expand(B, -1, -1)
+    seq = torch.cat([cls, px], 1) + sd["pos_embed"]
+
+    def ln(v, wk, bk):
+        return torch.nn.functional.layer_norm(
+            v, (spec.hidden_size,), sd[wk], sd[bk], eps=spec.ln_eps)
+
+    for i in range(spec.depth):
+        y = ln(seq, f"blocks.{i}.norm1.weight", f"blocks.{i}.norm1.bias")
+        qkv = y @ sd[f"blocks.{i}.attn.qkv.weight"].T \
+            + sd[f"blocks.{i}.attn.qkv.bias"]
+        q, k, v = qkv.chunk(3, -1)
+        nh, hd = spec.num_heads, spec.hidden_size // spec.num_heads
+
+        def heads(a):
+            return a.reshape(B, -1, nh, hd).transpose(1, 2)
+        att = (heads(q) @ heads(k).transpose(-2, -1)) * hd ** -0.5
+        att = att.softmax(-1)
+        o = (att @ heads(v)).transpose(1, 2).reshape(B, -1, spec.hidden_size)
+        o = o @ sd[f"blocks.{i}.attn.proj.weight"].T \
+            + sd[f"blocks.{i}.attn.proj.bias"]
+        seq = seq + o
+        y = ln(seq, f"blocks.{i}.norm2.weight", f"blocks.{i}.norm2.bias")
+        y = torch.nn.functional.gelu(
+            y @ sd[f"blocks.{i}.mlp.fc1.weight"].T
+            + sd[f"blocks.{i}.mlp.fc1.bias"])
+        y = y @ sd[f"blocks.{i}.mlp.fc2.weight"].T \
+            + sd[f"blocks.{i}.mlp.fc2.bias"]
+        seq = seq + y
+    seq = ln(seq, "norm.weight", "norm.bias")
+    ref = (seq[:, 0] @ sd["head.weight"].T + sd["head.bias"]).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pos_embed_interpolation_on_load(tmp_path):
+    """Checkpoint at grid 2x2 loads into a 4x4 model via bicubic interp."""
+    import torch
+    spec = R.model_spec("vit_tiny_patch16_224")
+    spec = R.VisionModelSpec(**{**spec.__dict__, "img_size": 64,
+                                "depth": 1, "num_classes": 0})
+    sd = _tiny_timm_state_dict(spec, grid_old=2)
+    del sd["head.weight"], sd["head.bias"]
+    pt = tmp_path / "vit.pth"
+    torch.save(sd, pt)
+    params = R.init_vision_params(jax.random.PRNGKey(0), spec)
+    params = R.load_timm_checkpoint(params, str(pt), spec)
+    assert params["pos_embed"].shape == (1, 17, spec.hidden_size)
+
+
+def test_pipeline_uses_registry_patch_size(tmp_path):
+    """'VitEmb_vit_base_patch32_384' resolves patch=32 through the registry
+    (the reference parses the timm name, …bertemb.py:750-778)."""
+    from vitcap_tpu.models.registry import model_spec
+    s = model_spec("vit_base_patch32_384")
+    assert s.patch_size == 32

@@ -1,0 +1,332 @@
+"""Vision-model registry/factory — the timm-zoo equivalent.
+
+The reference vendors pytorch_image_models (timm) for `create_model` /
+`@register_model` / `load_pretrained` (reference
+src/pytorch_image_models/timm/models/factory.py:6-62, registry.py,
+helpers.py:248) with ~40 architecture families, of which ViTCAP uses
+exactly one: the ViT (`vit_base_patch16_384`, uni_pipeline.py:1361-1430).
+
+This registry keeps the same factory surface — string name -> model — for
+the architecture family the framework actually exercises (the full ViT/DeiT
+grid), TPU-native: models are functional (init/apply pairs over param
+pytrees), pos-embeds interpolate bicubically on size mismatch (reference
+vision_transformer.py:416-421), and timm torch checkpoints load through the
+checkpoint bridge's suffix-matching rules.  Unused reference families
+(resnet/efficientnet/...) are deliberately not ported — they are dead
+weight in the reference too.
+
+Usage:
+    spec = model_spec("vit_base_patch16_384")
+    model = create_model("vit_base_patch16_384", img_size=384)
+    feats = model.apply(model.params, images)          # (B, 1+N, H)
+    logits = model.apply(model.params, images, head=True)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .layers import (dense, interpolate_pos_embed, layer_norm, vision_embed,
+                     vit_block)
+
+Params = Dict[str, Any]
+
+_REGISTRY: Dict[str, Callable[..., "VisionModelSpec"]] = {}
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionModelSpec:
+    """Static architecture description (the ViT hyperparameter grid)."""
+    name: str
+    patch_size: int
+    hidden_size: int
+    depth: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    img_size: int = 224
+    ln_eps: float = 1e-6
+    num_classes: int = 1000
+    distilled: bool = False        # deit distillation token (unused token
+                                   # slot kept for checkpoint compat)
+
+    @property
+    def intermediate_size(self) -> int:
+        return int(self.hidden_size * self.mlp_ratio)
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size
+
+
+def register_model(fn: Callable[..., VisionModelSpec]):
+    """Decorator: registers `fn.__name__` as a model builder
+    (reference timm registry.py `@register_model`)."""
+    _REGISTRY[fn.__name__] = fn
+    return fn
+
+
+def list_models() -> list:
+    return sorted(_REGISTRY)
+
+
+def is_model(name: str) -> bool:
+    return name in _REGISTRY
+
+
+def model_spec(name: str, **kw) -> VisionModelSpec:
+    if name not in _REGISTRY:
+        raise ValueError(
+            f"unknown model '{name}'; known: {', '.join(list_models())}")
+    return _REGISTRY[name](**kw)
+
+
+# ---------------------------------------------------------------------------
+# the ViT/DeiT grid (reference vision_transformer.py:1199-1330 defaults)
+# ---------------------------------------------------------------------------
+
+def _vit(name, patch, hidden, depth, heads, img=224, **kw):
+    return VisionModelSpec(name=name, patch_size=patch, hidden_size=hidden,
+                           depth=depth, num_heads=heads, img_size=img, **kw)
+
+
+@register_model
+def vit_tiny_patch16_224(**kw):
+    return _vit("vit_tiny_patch16_224", 16, 192, 12, 3, **kw)
+
+
+@register_model
+def vit_small_patch16_224(**kw):
+    return _vit("vit_small_patch16_224", 16, 384, 12, 6, **kw)
+
+
+@register_model
+def vit_small_patch16_384(**kw):
+    return _vit("vit_small_patch16_384", 16, 384, 12, 6, img=384, **kw)
+
+
+@register_model
+def vit_base_patch16_224(**kw):
+    return _vit("vit_base_patch16_224", 16, 768, 12, 12, **kw)
+
+
+@register_model
+def vit_base_patch16_384(**kw):
+    return _vit("vit_base_patch16_384", 16, 768, 12, 12, img=384, **kw)
+
+
+@register_model
+def vit_base_patch32_224(**kw):
+    return _vit("vit_base_patch32_224", 32, 768, 12, 12, **kw)
+
+
+@register_model
+def vit_base_patch32_384(**kw):
+    return _vit("vit_base_patch32_384", 32, 768, 12, 12, img=384, **kw)
+
+
+@register_model
+def vit_large_patch16_224(**kw):
+    return _vit("vit_large_patch16_224", 16, 1024, 24, 16, **kw)
+
+
+@register_model
+def vit_large_patch16_384(**kw):
+    return _vit("vit_large_patch16_384", 16, 1024, 24, 16, img=384, **kw)
+
+
+@register_model
+def vit_large_patch32_384(**kw):
+    return _vit("vit_large_patch32_384", 32, 1024, 24, 16, img=384, **kw)
+
+
+@register_model
+def deit_tiny_patch16_224(**kw):
+    return _vit("deit_tiny_patch16_224", 16, 192, 12, 3, **kw)
+
+
+@register_model
+def deit_small_patch16_224(**kw):
+    return _vit("deit_small_patch16_224", 16, 384, 12, 6, **kw)
+
+
+@register_model
+def deit_base_patch16_224(**kw):
+    return _vit("deit_base_patch16_224", 16, 768, 12, 12, **kw)
+
+
+@register_model
+def deit_base_patch16_384(**kw):
+    return _vit("deit_base_patch16_384", 16, 768, 12, 12, img=384, **kw)
+
+
+# ---------------------------------------------------------------------------
+# functional model construction
+# ---------------------------------------------------------------------------
+
+class VisionModel(NamedTuple):
+    spec: VisionModelSpec
+    params: Params
+    apply: Callable[..., jnp.ndarray]
+
+
+def init_vision_params(rng: jax.Array, spec: VisionModelSpec) -> Params:
+    """Standalone ViT param tree: patch embed + CLS + pos + blocks + norm
+    (+ classifier head).  Shapes/layout match vitcap.init_params's trunk so
+    the checkpoint bridge and the caption model interoperate."""
+    from .vitcap import _dense_init, _ln_init, _trunc_normal, _vit_block_init
+    from .config import ModelConfig
+    cfg = ModelConfig(
+        hidden_size=spec.hidden_size, num_attention_heads=spec.num_heads,
+        intermediate_size=spec.intermediate_size,
+        num_hidden_layers=spec.depth, img_size=spec.img_size,
+        patch_size=spec.patch_size, vit_layer_norm_eps=spec.ln_eps)
+    ks = jax.random.split(rng, spec.depth + 4)
+    h = spec.hidden_size
+    g = spec.grid
+    params: Params = {
+        "patch_proj": {
+            "kernel": _trunc_normal(
+                ks[0], (spec.patch_size, spec.patch_size, 3, h)),
+            "bias": jnp.zeros((h,), jnp.float32),
+        },
+        "cls_token": jnp.zeros((1, 1, h), jnp.float32),
+        "pos_embed": _trunc_normal(ks[1], (1, g * g + 1, h)),
+        "blocks": [_vit_block_init(ks[2 + i], cfg)
+                   for i in range(spec.depth)],
+        "norm": _ln_init(h),
+    }
+    if spec.num_classes:
+        params["head"] = _dense_init(ks[-1], h, spec.num_classes)
+    return params
+
+
+def vit_forward(params: Params, images: jnp.ndarray,
+                spec: VisionModelSpec, head: bool = False,
+                dtype=jnp.float32) -> jnp.ndarray:
+    """Patchify -> blocks -> final norm; head=True pools CLS into logits
+    (reference VisionTransformer.forward :434-447; `output_grid` mode is
+    head=False, which returns all post-norm tokens)."""
+    x = vision_embed(params, images.astype(dtype), spec.patch_size)
+    for blk in params["blocks"]:
+        x = vit_block(blk, x, spec.num_heads, spec.ln_eps)
+    x = layer_norm(params["norm"], x, spec.ln_eps)
+    if head:
+        return dense(params["head"], x[:, 0])
+    return x
+
+
+def create_model(name: str, pretrained: bool = False,
+                 checkpoint_path: Optional[str] = None,
+                 img_size: Optional[int] = None,
+                 num_classes: Optional[int] = None,
+                 rng: Optional[jax.Array] = None,
+                 dtype=jnp.float32) -> VisionModel:
+    """Factory (reference timm factory.py:6-62).  pretrained=True requires
+    checkpoint_path (this environment has no network; timm downloads its
+    weights — here they must be on disk as a torch state-dict)."""
+    kw = {}
+    spec = model_spec(name)
+    if img_size is not None and img_size != spec.img_size:
+        spec = dataclasses.replace(spec, img_size=img_size)
+    if num_classes is not None:
+        spec = dataclasses.replace(spec, num_classes=num_classes)
+    params = init_vision_params(rng if rng is not None
+                                else jax.random.PRNGKey(0), spec)
+    if pretrained or checkpoint_path:
+        if not checkpoint_path:
+            raise ValueError("pretrained=True needs checkpoint_path "
+                             "(no-network environment)")
+        params = load_timm_checkpoint(params, checkpoint_path, spec)
+
+    def apply(params, images, head=False):
+        return vit_forward(params, images, spec, head=head, dtype=dtype)
+
+    return VisionModel(spec=spec, params=params, apply=apply)
+
+
+# ---------------------------------------------------------------------------
+# timm torch checkpoint loading (reference helpers.py:248 load_pretrained)
+# ---------------------------------------------------------------------------
+
+_TIMM_NAME_MAP = {
+    "patch_proj.kernel": ("patch_embed.proj.weight", "conv_hwio"),
+    "patch_proj.bias": ("patch_embed.proj.bias", "none"),
+    "cls_token": ("cls_token", "none"),
+    "pos_embed": ("pos_embed", "pos_interp"),
+    "norm.scale": ("norm.weight", "none"),
+    "norm.bias": ("norm.bias", "none"),
+    "head.kernel": ("head.weight", "t"),
+    "head.bias": ("head.bias", "none"),
+}
+_BLOCK_MAP = {
+    "norm1.scale": ("norm1.weight", "none"),
+    "norm1.bias": ("norm1.bias", "none"),
+    "attn.qkv.kernel": ("attn.qkv.weight", "t"),
+    "attn.qkv.bias": ("attn.qkv.bias", "none"),
+    "attn.proj.kernel": ("attn.proj.weight", "t"),
+    "attn.proj.bias": ("attn.proj.bias", "none"),
+    "norm2.scale": ("norm2.weight", "none"),
+    "norm2.bias": ("norm2.bias", "none"),
+    "mlp.fc1.kernel": ("mlp.fc1.weight", "t"),
+    "mlp.fc1.bias": ("mlp.fc1.bias", "none"),
+    "mlp.fc2.kernel": ("mlp.fc2.weight", "t"),
+    "mlp.fc2.bias": ("mlp.fc2.bias", "none"),
+}
+
+
+def load_timm_checkpoint(params: Params, path: str,
+                         spec: VisionModelSpec) -> Params:
+    """Load a timm ViT torch state-dict; transposes linear kernels, converts
+    the conv filter OIHW->HWIO, and bicubically interpolates pos_embed on
+    grid mismatch (reference vision_transformer.py:416-421,
+    helpers.py:248-299)."""
+    import numpy as np
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    sd = load_torch_state_dict(path)
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+
+    def fetch(tname, transform, target_shape):
+        arr = np.asarray(sd[tname])
+        if transform == "t":
+            arr = arr.T
+        elif transform == "conv_hwio":
+            arr = arr.transpose(2, 3, 1, 0)   # OIHW -> HWIO
+        elif transform == "pos_interp":
+            if arr.shape != tuple(target_shape):
+                old = int(round((arr.shape[1] - 1) ** 0.5))
+                arr = np.asarray(interpolate_pos_embed(
+                    jnp.asarray(arr), (spec.grid, spec.grid), (old, old)))
+        return jnp.asarray(arr, jnp.float32)
+
+    out = dict(params)
+    for jname, (tname, tr) in _TIMM_NAME_MAP.items():
+        top, _, sub = jname.partition(".")
+        if top == "head" and ("head" not in params or tname not in sd):
+            continue
+        tgt = params[top][sub] if sub else params[top]
+        val = fetch(tname, tr, tgt.shape)
+        if sub:
+            out[top] = dict(out[top])
+            out[top][sub] = val
+        else:
+            out[top] = val
+    blocks = []
+    for i, blk in enumerate(params["blocks"]):
+        nb: Params = {}
+        for jname, (tname, tr) in _BLOCK_MAP.items():
+            parts = jname.split(".")
+            cur = nb
+            for pp in parts[:-1]:
+                cur = cur.setdefault(pp, {})
+            ref = blk
+            for pp in parts:
+                ref = ref[pp]
+            cur[parts[-1]] = fetch(f"blocks.{i}.{tname}", tr, ref.shape)
+        blocks.append(nb)
+    out["blocks"] = blocks
+    return out

@@ -120,8 +120,22 @@ class CaptionUniPipeline(UniPipeline):
                                    "config.json")))
         img_size = int(self.cfg.train_crop_size)
         patch = 16
+        num_layers = j["num_hidden_layers"]
         net = self.cfg.image_encoder_type
-        if "patch32" in net:
+        # 'VitEmb_<timm-name>' (reference get_image_encoder_model
+        # …bertemb.py:750-778) — resolve trunk hyperparams from the model
+        # registry when the name is known
+        from ..models import registry as R
+        timm_name = net.split("VitEmb_")[-1]
+        if R.is_model(timm_name):
+            spec = R.model_spec(timm_name)
+            patch = spec.patch_size
+            # trunk and fusion share one width (the reference feeds ViT
+            # hidden straight into BERT layers); when a down-scaled fusion
+            # json is used (tiny test configs), the json's dims win
+            if spec.hidden_size == j["hidden_size"]:
+                num_layers = spec.depth
+        elif "patch32" in net:
             patch = 32
         # category 'vinvl': tag head over the detector label vocab
         # (reference modeling_bert.py:1327-1333, yaml/vinvl_label.json)
@@ -132,7 +146,7 @@ class CaptionUniPipeline(UniPipeline):
             hidden_size=j["hidden_size"],
             num_attention_heads=j["num_attention_heads"],
             intermediate_size=j["intermediate_size"],
-            num_hidden_layers=j["num_hidden_layers"],
+            num_hidden_layers=num_layers,
             decoder_layers=int(self.cfg.get("decoder_layers", 4) or 4),
             split_blocks=int(self.cfg.split_blocks),
             vocab_size=j["vocab_size"],
