@@ -94,6 +94,13 @@ class ModelConfig:
                                          # exceed HBM at training batch sizes
                                          # (no-op for forward-only jits)
 
+    def __post_init__(self):
+        if self.split_blocks > self.num_hidden_layers:
+            raise ValueError(
+                f"split_blocks={self.split_blocks} exceeds trunk depth "
+                f"{self.num_hidden_layers} (the tag branch forks off the "
+                f"last split_blocks trunk layers)")
+
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
