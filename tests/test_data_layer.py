@@ -202,3 +202,44 @@ def test_distributed_sampler_covers_all():
         assert len(idx) == 4                      # ceil(10/3) = 4
         got += idx
     assert set(got) == set(range(10))             # tail duplicated, all seen
+
+
+def test_precomputed_tags_tool_and_tensorizer(tmp_path):
+    """tools/precompute_tags.py writes the caption_tags sidecar;
+    LoadCaptionTags + encode='precomputed' reproduce the online nltk path
+    (the fallback tagger, since this image has no nltk corpora)."""
+    import json as _json
+    import sys
+    from vitcap_tpu.data.tsv import tsv_writer, TSVSplitProperty
+    from vitcap_tpu.data.dataset import LoadCaptionTags, TagTensorize
+    from vitcap_tpu.data.tensorizers import CaptionTaggerTensorizer
+    from vitcap_tpu.data.tokenization import BertTokenizer
+
+    d = tmp_path / "data" / "tiny"
+    caps = [("k0", _json.dumps([{"caption": "a dog runs"},
+                                {"caption": "two cats sleep"}])),
+            ("k1", _json.dumps([{"caption": "a red car"}]))]
+    tsv_writer(caps, str(d / "train.caption.tsv"))
+
+    sys.path.insert(0, "/root/repo/tools")
+    import precompute_tags
+    out = precompute_tags.main(["--data", "tiny", "--split", "train",
+                                "--data-root", str(tmp_path / "data")])
+    rows = list(TSVSplitProperty("tiny", "train", "caption_tags",
+                                 data_root=str(tmp_path / "data")))
+    assert rows[0][0] == "k0"
+    per_cap = _json.loads(rows[0][1])
+    assert per_cap[0] == ["a", "dog", "runs"]      # fallback: all-NN
+
+    tok = BertTokenizer(
+        "/root/reference/yaml/VILT-L12-H784-uncased_16_384/vocab.txt")
+    online = CaptionTaggerTensorizer(tok, encode="nltk")
+    offline = CaptionTaggerTensorizer(tok, encode="precomputed")
+    data = {"idx_img": 0, "idx_cap": 1, "label": [],
+            "caption": {"caption": "two cats sleep"}}
+    LoadCaptionTags("tiny", "train",
+                    data_root=str(tmp_path / "data"))(data)
+    assert data["caption_tags"] == ["two", "cats", "sleep"]
+    got = TagTensorize(offline)(dict(data))["label"]
+    want = online.tensorize([], "two cats sleep")["label"]
+    np.testing.assert_array_equal(got, want)

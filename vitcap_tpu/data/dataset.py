@@ -161,6 +161,21 @@ class LoadCaption:
         return [c["caption"] for c in json.loads(self.tsv[img_idx][1])]
 
 
+class LoadCaptionTags:
+    """Offline-precomputed POS tag words per (image, caption) from
+    `<split>.caption_tags.tsv` (tools/precompute_tags.py); replaces
+    per-sample nltk tagging in the loader hot path."""
+
+    def __init__(self, data, split, version=None, data_root=None):
+        self.tsv = TSVSplitProperty(data, split, "caption_tags",
+                                    version=version, data_root=data_root)
+
+    def __call__(self, data):
+        _, str_tags = self.tsv[data["idx_img"]]
+        data["caption_tags"] = json.loads(str_tags)[data["idx_cap"]]
+        return data
+
+
 class LoadLabel:
     def __init__(self, data, split, version=None, data_root=None):
         self.tsv = TSVSplitProperty(data, split, "label", version=version,
@@ -233,8 +248,11 @@ class TagTensorize:
         if isinstance(labels, dict) and "objects" in labels:
             labels = labels["objects"]
         cap = data.get("caption")
+        kw = {}
+        if "caption_tags" in data:
+            kw["tag_words"] = data["caption_tags"]
         x = self.tensorizer.tensorize(
-            labels, cap["caption"] if cap else None)
+            labels, cap["caption"] if cap else None, **kw)
         data.update(x)
         return data
 

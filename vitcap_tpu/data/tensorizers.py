@@ -150,13 +150,19 @@ class CaptionTaggerTensorizer:
                  category: str = "bert", encode: str = "nltk",
                  caption_only: bool = False):
         assert category == "bert"
+        assert encode in ("nltk", "bert", "precomputed")
         self.bert_tokenizer = bert_tokenizer
         self.threshold = threshold
         self.encode = encode
         self.caption_only = caption_only
 
     def tensorize(self, labels: List[dict],
-                  caption: Optional[str] = None) -> Dict[str, np.ndarray]:
+                  caption: Optional[str] = None,
+                  tag_words: Optional[List[str]] = None
+                  ) -> Dict[str, np.ndarray]:
+        """tag_words: offline-precomputed caption tag words
+        (tools/precompute_tags.py) consumed when encode='precomputed' —
+        replaces per-sample nltk work in the input pipeline hot path."""
         tok = self.bert_tokenizer
         label = np.zeros(tok.vocab_size, dtype=np.float32)
         if not self.caption_only:
@@ -164,9 +170,13 @@ class CaptionTaggerTensorizer:
                 if tag.get("conf", 1.0) >= self.threshold:
                     for t in tag["class"].split(" "):
                         label[tok.convert_tokens_to_ids(t)] = 1
-        if caption is not None:
+        if self.encode == "precomputed" and tag_words is not None:
+            for word in tag_words:
+                for t in word.split(" "):
+                    label[tok.convert_tokens_to_ids(t)] = 1
+        elif caption is not None:
             if self.encode == "nltk":
-                for word, pos in _pos_tag(caption):
+                for word, pos in pos_tag_caption(caption):
                     if pos in ("JJ", "NN", "NNP"):
                         for t in word.split(" "):
                             label[tok.convert_tokens_to_ids(t)] = 1
@@ -185,7 +195,9 @@ class VinvlTaggerTensorizer:
         self.threshold = threshold
 
     def tensorize(self, labels: List[dict],
-                  caption: Optional[str] = None) -> Dict[str, np.ndarray]:
+                  caption: Optional[str] = None,
+                  tag_words: Optional[List[str]] = None
+                  ) -> Dict[str, np.ndarray]:
         label = np.zeros(len(self.label_to_idx), dtype=np.float32)
         for tag in labels:
             if tag.get("conf", 1.0) >= self.threshold:
@@ -193,7 +205,7 @@ class VinvlTaggerTensorizer:
         return {"label": label}
 
 
-def _pos_tag(caption: str):
+def pos_tag_caption(caption: str):
     """nltk word_tokenize + pos_tag when the models are available; otherwise
     a whitespace/punct fallback tagging every token NN (caption nouns are the
     dominant signal; offline environments lack the perceptron model)."""
@@ -204,3 +216,6 @@ def _pos_tag(caption: str):
         import re
         words = re.findall(r"[A-Za-z']+", caption)
         return [(w, "NN") for w in words]
+
+
+_pos_tag = pos_tag_caption   # backwards-compat alias

@@ -242,6 +242,11 @@ class CaptionUniPipeline(UniPipeline):
             ops.append(LoadCaption(data, split,
                                    version=self.cfg.caption_version,
                                    data_root=root))
+            if self.cfg.encode == "precomputed":
+                from ..data.dataset import LoadCaptionTags
+                ops.append(LoadCaptionTags(data, split,
+                                           version=self.cfg.caption_version,
+                                           data_root=root))
             ops.append(LoadLabel(data, split,
                                  version=self.cfg.train_label_version,
                                  data_root=root))
@@ -259,8 +264,8 @@ class CaptionUniPipeline(UniPipeline):
         # NOTE: 'label' is kept — TagTensorize overwrote the raw od list
         # with the multi-hot tensor (reference useless_keys comment out
         # 'label' for train, …bertemb.py:462)
-        useless = ["idx", "idx_cap", "caption", "text_a", "text_b",
-                   "height", "width"]
+        useless = ["idx", "idx_cap", "caption", "caption_tags", "text_a",
+                   "text_b", "height", "width"]
         if not (is_train and self.cfg.scst):
             useless.append("idx_img")   # scst needs it for GT-caption lookup
         ops.append(RemoveUselessKeys(useless))
