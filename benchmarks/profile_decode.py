@@ -66,8 +66,9 @@ def main():
     print(f"  scan only (ctx given):     {t_scan*1e3:8.2f} ms "
           f"({t_scan/steps*1e3:.3f} ms/step)")
 
-    # analytic per-step HBM floor (v5e ~819 GB/s)
-    S = ctx["ctx_k"][0].shape[1]
+    # analytic per-step HBM floor (v5e ~819 GB/s); ctx caches are
+    # (B, nH, S, hd) head layout
+    S = ctx["ctx_k"][0].shape[2]
     H = cfg.hidden_size
     nL = cfg.decoder_layers
     kv_bytes = 2 * nL * B * S * H * 2

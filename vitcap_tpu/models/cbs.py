@@ -242,7 +242,8 @@ def constrained_beam_search(params, images: jnp.ndarray, od_ids: jnp.ndarray,
     ctx = D.build_decode_context(params, images, od_ids, od_token_type_ids,
                                  seq_len, cfg, opts)
     cap_k, cap_v = D._init_caps(B * G, cfg.decoder_layers, A,
-                                cfg.hidden_size, cfg.compute_dtype)
+                                cfg.hidden_size, cfg.compute_dtype,
+                                cfg.num_attention_heads)
     fsm_f = fsm.astype(jnp.bool_)
 
     tokens = jnp.full((B, G, A), cfg.pad_token_id, jnp.int32)

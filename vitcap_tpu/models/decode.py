@@ -161,17 +161,25 @@ def build_decode_context(params: Params, images: jnp.ndarray,
         (~is_od_row)[None, None, :] & jnp.ones((B, 1, 1), bool))
     bias = jnp.where(allow, 0.0, NEG_MASK_VALUE)[:, None]  # (B,1,S,S)
 
+    nH = cfg.num_attention_heads
+    hd = cfg.hidden_size // nH
+
+    def to_heads(a):
+        return a.reshape(B, S_ctx, nH, hd).transpose(0, 2, 1, 3)
+
     ctx_k: List[jnp.ndarray] = []
     ctx_v: List[jnp.ndarray] = []
     x = ctx
     for layer in params["decoder"]["layer"]:
         ps = layer["attention"]["self"]
-        ctx_k.append(dense(ps["key"], x))
-        ctx_v.append(dense(ps["value"], x))
+        # store in head layout so decode steps read the caches directly
+        # (no per-step transpose inside the scan)
+        ctx_k.append(to_heads(dense(ps["key"], x)))
+        ctx_v.append(to_heads(dense(ps["value"], x)))
         x = _bert_layer_full(layer, x, bias, cfg)
     return {
-        "ctx_k": ctx_k, "ctx_v": ctx_v,        # per decoder layer (B,S_ctx,H)
-        "ctx_valid": ctx_valid,                # (B, S_ctx)
+        "ctx_k": ctx_k, "ctx_v": ctx_v,    # per decoder layer (B,nH,S_ctx,hd)
+        "ctx_valid": ctx_valid,            # (B, S_ctx)
         "tag_logits": ce["tag_logits"],
         "pred_topk": ce["pred_topk"],
     }
@@ -196,33 +204,38 @@ def _decode_attention(ps: Params, x_win: jnp.ndarray,
                       num_heads: int
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Window [prev@t-1, MASK@t] attention against (caption cache + self +
-    shared context cache).  cap_* are per-beam (Bb, A, H); ctx_* per-image
-    (B, S, H) broadcast over Bb//B beams.  Returns (out, cap_k, cap_v)."""
+    shared context cache).  cap_* are per-beam (Bb, h, A, d); ctx_*
+    per-image (B, h, S, d), both pre-transposed head layout so the scan
+    body reads every cache byte exactly once.  Returns (out, cap_k, cap_v).
+    """
     Bb, W, H = x_win.shape
     B = ctx_k.shape[0]
     nb = Bb // B
     hd = H // num_heads
-    A = cap_k.shape[1]
-    S = ctx_k.shape[1]
+    A = cap_k.shape[2]
+    S = ctx_k.shape[2]
 
     q = dense(ps["query"], x_win)
     k_win = dense(ps["key"], x_win)
     v_win = dense(ps["value"], x_win)
-    cap_k = jax.lax.dynamic_update_slice_in_dim(
-        cap_k, k_win[:, :1], t - 1, axis=1)  # write prev slot
-    cap_v = jax.lax.dynamic_update_slice_in_dim(
-        cap_v, v_win[:, :1], t - 1, axis=1)
 
     def heads(a, L):
         return a.reshape(a.shape[0], L, num_heads, hd).transpose(0, 2, 1, 3)
 
+    kh_win = heads(k_win, W)                           # (Bb,h,W,d)
+    vh_win = heads(v_win, W)
+    cap_k = jax.lax.dynamic_update_slice_in_dim(
+        cap_k, kh_win[:, :, :1], t - 1, axis=2)  # write prev slot
+    cap_v = jax.lax.dynamic_update_slice_in_dim(
+        cap_v, vh_win[:, :, :1], t - 1, axis=2)
+
     qh = heads(q, W)                                   # (Bb,h,W,d)
-    s_cap = jnp.einsum("bhqd,bhkd->bhqk", qh, heads(cap_k, A),
+    s_cap = jnp.einsum("bhqd,bhkd->bhqk", qh, cap_k,
                        preferred_element_type=jnp.float32)
-    s_self = jnp.einsum("bhqd,bhd->bhq", qh, heads(k_win, W)[:, :, 1],
+    s_self = jnp.einsum("bhqd,bhd->bhq", qh, kh_win[:, :, 1],
                         preferred_element_type=jnp.float32)[..., None]
     q4 = qh.reshape(B, nb, num_heads, W, hd)
-    s_ctx = jnp.einsum("bnhqd,bhkd->bnhqk", q4, heads(ctx_k, S),
+    s_ctx = jnp.einsum("bnhqd,bhkd->bnhqk", q4, ctx_k,
                        preferred_element_type=jnp.float32)
     s_ctx = s_ctx.reshape(Bb, num_heads, W, S)
 
@@ -239,12 +252,12 @@ def _decode_attention(ps: Params, x_win: jnp.ndarray,
     scores = jnp.concatenate([s_cap, s_self, s_ctx], axis=-1)
     probs = jax.nn.softmax(scores, axis=-1).astype(x_win.dtype)
     p_cap, p_self, p_ctx = jnp.split(probs, [A, A + 1], axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", p_cap, heads(cap_v, A),
+    out = jnp.einsum("bhqk,bhkd->bhqd", p_cap, cap_v,
                      preferred_element_type=x_win.dtype)
-    out += p_self * heads(v_win, W)[:, :, 1:2]
+    out += p_self * vh_win[:, :, 1:2]
     o_ctx = jnp.einsum("bnhqk,bhkd->bnhqd",
                        p_ctx.reshape(B, nb, num_heads, W, S),
-                       heads(ctx_v, S), preferred_element_type=x_win.dtype)
+                       ctx_v, preferred_element_type=x_win.dtype)
     out += o_ctx.reshape(Bb, num_heads, W, hd)
     out = out.transpose(0, 2, 1, 3).reshape(Bb, W, H)
     return out, cap_k, cap_v
@@ -299,10 +312,13 @@ def decode_step(params: Params, cap_k: List[jnp.ndarray],
     return logits.astype(jnp.float32), n_k, n_v
 
 
-def _init_caps(B: int, n_layers: int, A: int, H: int, dtype
+def _init_caps(B: int, n_layers: int, A: int, H: int, dtype,
+               num_heads: int
                ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
-    z = [jnp.zeros((B, A, H), dtype) for _ in range(n_layers)]
-    return z, [jnp.zeros((B, A, H), dtype) for _ in range(n_layers)]
+    hd = H // num_heads
+    z = [jnp.zeros((B, num_heads, A, hd), dtype) for _ in range(n_layers)]
+    return z, [jnp.zeros((B, num_heads, A, hd), dtype)
+               for _ in range(n_layers)]
 
 
 # ---------------------------------------------------------------------------
@@ -354,7 +370,8 @@ def generate_greedy(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
     Bb = B * nrs
     H = cfg.hidden_size
     nL = cfg.decoder_layers
-    cap_k, cap_v = _init_caps(Bb, nL, A, H, cfg.compute_dtype)
+    cap_k, cap_v = _init_caps(Bb, nL, A, H, cfg.compute_dtype,
+                              cfg.num_attention_heads)
 
     tokens = jnp.full((Bb, A), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.cls_token_id)
@@ -430,7 +447,8 @@ def generate_beam(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
     B = ctx["ctx_k"][0].shape[0]
     Bb = B * nb
     H = cfg.hidden_size
-    cap_k, cap_v = _init_caps(Bb, cfg.decoder_layers, A, H, cfg.compute_dtype)
+    cap_k, cap_v = _init_caps(Bb, cfg.decoder_layers, A, H,
+                              cfg.compute_dtype, cfg.num_attention_heads)
 
     tokens = jnp.full((B, nb, A), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, :, 0].set(cfg.cls_token_id)

@@ -183,7 +183,8 @@ def init_vision_params(rng: jax.Array, spec: VisionModelSpec) -> Params:
         hidden_size=spec.hidden_size, num_attention_heads=spec.num_heads,
         intermediate_size=spec.intermediate_size,
         num_hidden_layers=spec.depth, img_size=spec.img_size,
-        patch_size=spec.patch_size, vit_layer_norm_eps=spec.ln_eps)
+        patch_size=spec.patch_size, vit_layer_norm_eps=spec.ln_eps,
+        split_blocks=0)       # dims-only carrier; no tag branch here
     ks = jax.random.split(rng, spec.depth + 4)
     h = spec.hidden_size
     g = spec.grid
