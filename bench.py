@@ -56,8 +56,13 @@ def main():
     params = M.init_params(jax.random.PRNGKey(0), cfg)
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.randn(B, cfg.img_size, cfg.img_size, 3),
-                         jnp.float32)
+    # host pre-patchified layout (the production input-pipeline output;
+    # models/layers.py patchify_host) — device-side space-to-depth at C=3
+    # is lane-starved on TPU
+    from vitcap_tpu.models.layers import patchify_host
+    raw = rng.randn(B, cfg.img_size, cfg.img_size, 3).astype(np.float32)
+    images = jnp.asarray(np.stack([patchify_host(r, cfg.patch_size)
+                                   for r in raw]))
     od_ids = jnp.asarray(rng.randint(999, 9000, (B, OD)), jnp.int32)
     seq_len = jnp.full((B,), cfg.max_seq_len, jnp.int32)
 

@@ -96,11 +96,12 @@ class TrainImageTransform:
 
     def __init__(self, crop_size: int = 384, small_scale: float = 0.08,
                  mean: float = 0.5, std: float = 0.5,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, patchify: int = 0):
         self.crop_size = crop_size
         self.scale = (small_scale, 1.0)
         self.mean, self.std = mean, std
         self.rng = random.Random(seed)
+        self.patchify = patchify
 
     def __call__(self, img: "Image.Image") -> np.ndarray:
         w, h = img.size
@@ -110,17 +111,22 @@ class TrainImageTransform:
         img = color_jitter(self.rng, img)
         if self.rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
-        return normalize_to_array(img, self.mean, self.std)
+        arr = normalize_to_array(img, self.mean, self.std)
+        if self.patchify:
+            from ..models.layers import patchify_host
+            arr = patchify_host(arr, self.patchify)
+        return arr
 
 
 class TestImageTransform:
     """Resize(floor(crop/crop_pct), bicubic) + CenterCrop(crop)."""
 
     def __init__(self, crop_size: int = 384, crop_pct: float = 1.0,
-                 mean: float = 0.5, std: float = 0.5):
+                 mean: float = 0.5, std: float = 0.5, patchify: int = 0):
         self.crop_size = crop_size
         self.resize_size = int(math.floor(crop_size / crop_pct))
         self.mean, self.std = mean, std
+        self.patchify = patchify
 
     def __call__(self, img: "Image.Image") -> np.ndarray:
         w, h = img.size
@@ -134,4 +140,8 @@ class TestImageTransform:
         top = (nh - self.crop_size) // 2
         img = img.crop((left, top, left + self.crop_size,
                         top + self.crop_size))
-        return normalize_to_array(img, self.mean, self.std)
+        arr = normalize_to_array(img, self.mean, self.std)
+        if self.patchify:
+            from ..models.layers import patchify_host
+            arr = patchify_host(arr, self.patchify)
+        return arr

@@ -176,19 +176,36 @@ def vit_block_cls_only(p: Params, x: jnp.ndarray, num_heads: int,
 
 
 def patch_embed(p: Params, images: jnp.ndarray) -> jnp.ndarray:
-    """images (B, H, W, 3) NHWC -> patch tokens (B, N, H).
+    """images (B, H, W, C) NHWC, or (B, N, P*P*C) pre-patchified on the
+    host -> patch tokens (B, N, H).
 
-    Conv stride=patch (reference PatchEmbed vision_transformer.py:253-275).
+    Math = conv stride=patch (reference PatchEmbed
+    vision_transformer.py:253-275), computed as space-to-depth + matmul:
+    XLA's conv lowering at C=3 wastes the MXU (measured ~30% slower), and
+    a host-patchified input skips the device-side layout shuffle entirely.
     """
-    y = jax.lax.conv_general_dilated(
-        images, p["kernel"].astype(images.dtype),
-        window_strides=p["kernel"].shape[:2],
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    y = y + p["bias"].astype(images.dtype)
-    B, gh, gw, H = y.shape
-    return y.reshape(B, gh * gw, H)
+    ph, pw, C, H = p["kernel"].shape
+    w = p["kernel"].reshape(ph * pw * C, H).astype(images.dtype)
+    if images.ndim == 3:                       # already (B, N, ph*pw*C)
+        x = images
+    else:
+        B, ih, iw, _ = images.shape
+        gh, gw = ih // ph, iw // pw
+        x = images.reshape(B, gh, ph, gw, pw, C).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, gh * gw, ph * pw * C)
+    y = jnp.dot(x, w, preferred_element_type=images.dtype)
+    return y + p["bias"].astype(images.dtype)
+
+
+def patchify_host(image_hwc, patch: int):
+    """Host-side space-to-depth: (H, W, C) numpy -> (N, patch*patch*C),
+    the pre-patchified layout patch_embed consumes without a device-side
+    layout shuffle (tiny-lane transposes are slow on TPU)."""
+    import numpy as np
+    ih, iw, C = image_hwc.shape
+    gh, gw = ih // patch, iw // patch
+    x = image_hwc.reshape(gh, patch, gw, patch, C).transpose(0, 2, 1, 3, 4)
+    return np.ascontiguousarray(x).reshape(gh * gw, patch * patch * C)
 
 
 def interpolate_pos_embed(pos_embed: jnp.ndarray, new_grid: Tuple[int, int],

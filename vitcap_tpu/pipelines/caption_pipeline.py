@@ -229,13 +229,19 @@ class CaptionUniPipeline(UniPipeline):
         data = self.cfg.data if is_train else self.cfg.test_data
         split = "train" if is_train else self.cfg.test_split
         root = self.cfg.data_root
+        # pre-patchify on the host by default: device-side space-to-depth
+        # at C=3 is lane-starved on TPU (models/layers.py patch_embed)
+        patch = self.model_cfg.patch_size \
+            if (self.cfg.get("prepatchify") in (None, True, 1)) else 0
         if is_train:
             img_t = TrainImageTransform(
                 crop_size=self.cfg.train_crop_size,
-                small_scale=self.cfg.input_small_scale)
+                small_scale=self.cfg.input_small_scale,
+                patchify=patch)
         else:
             img_t = TestImageTransform(crop_size=self.cfg.test_crop_size,
-                                       crop_pct=self.cfg.crop_pct)
+                                       crop_pct=self.cfg.crop_pct,
+                                       patchify=patch)
         ops = [LoadHW(data, split, data_root=root),
                LoadImage(data, split, image_transform=img_t, data_root=root)]
         if is_train:
