@@ -243,3 +243,18 @@ def test_precomputed_tags_tool_and_tensorizer(tmp_path):
     got = TagTensorize(offline)(dict(data))["label"]
     want = online.tensorize([], "two cats sleep")["label"]
     np.testing.assert_array_equal(got, want)
+
+
+def test_pert_collate_itm_negatives():
+    from vitcap_tpu.data.dataset import pert_collate
+    rng = np.random.RandomState(0)
+    samples = [{"image": np.full((2, 2), i, np.float32), "cap": i}
+               for i in range(8)]
+    out = pert_collate(samples, prob=0.5, rng=rng)
+    assert out["image"].shape == (8, 2, 2)
+    assert out["matched"].dtype == bool
+    # rows beyond the shuffle window always match
+    assert out["matched"][5:].all()
+    # shuffled rows: matched iff the image landed back on its own slot
+    for i in range(8):
+        assert out["matched"][i] == (out["image"][i, 0, 0] == i)

@@ -194,3 +194,39 @@ def test_tensor_parallel_matches_data_parallel():
     w2 = np.array(st2.params["decoder"]["layer"][0]["intermediate"]["dense"]
                   ["kernel"])
     np.testing.assert_allclose(w1, w2, rtol=2e-4, atol=1e-6)
+
+
+def test_warmup_cosine_hard_restarts_matches_reference():
+    RH.install()
+    import torch
+    from src.solver.optimization import WarmupCosineWithHardRestartsSchedule
+    from vitcap_tpu.solver.optimization import warmup_cosine_hard_restarts
+    p = torch.nn.Parameter(torch.zeros(1))
+    optt = torch.optim.SGD([p], lr=1.0)
+    sched = WarmupCosineWithHardRestartsSchedule(
+        optt, warmup_steps=3, t_total=20, cycles=2.0)
+    mine = warmup_cosine_hard_restarts(3, 20, cycles=2.0)
+    for step in range(22):
+        np.testing.assert_allclose(float(mine(step)),
+                                   optt.param_groups[0]["lr"],
+                                   rtol=1e-5, atol=1e-7, err_msg=f"step {step}")
+        optt.step()
+        sched.step()
+
+
+def test_warmup_cosine_annealing_matches_reference():
+    RH.install()
+    import torch
+    from src.solver.lr_scheduler import WarmupCosineAnnealingLR
+    from vitcap_tpu.solver.optimization import warmup_cosine_annealing
+    p = torch.nn.Parameter(torch.zeros(1))
+    optt = torch.optim.SGD([p], lr=2.0)
+    sched = WarmupCosineAnnealingLR(optt, max_iter=30, min_lr=0.2,
+                                    warmup_iters=4, warmup_method="linear")
+    mine = warmup_cosine_annealing(30, warmup_steps=4, min_lr_ratio=0.1)
+    for step in range(30):
+        np.testing.assert_allclose(2.0 * float(mine(step)),
+                                   optt.param_groups[0]["lr"],
+                                   rtol=1e-5, atol=1e-7, err_msg=f"step {step}")
+        optt.step()
+        sched.step()

@@ -68,6 +68,38 @@ def warmup_cosine(warmup_steps: int, t_total: int, cycles: float = 0.5
     return f
 
 
+def warmup_cosine_hard_restarts(warmup_steps: int, t_total: int,
+                                cycles: float = 1.0) -> Callable:
+    """WarmupCosineWithHardRestartsSchedule (reference
+    optimization.py:104-124): `cycles` cosine decays, each restarting at 1."""
+    def f(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, warmup_steps)
+        progress = (step - warmup_steps) / jnp.maximum(
+            1.0, t_total - warmup_steps)
+        cos = jnp.maximum(
+            0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * ((cycles * progress) % 1.0))))
+        cos = jnp.where(progress >= 1.0, 0.0, cos)
+        return jnp.where(step < warmup_steps, warm, cos)
+    return f
+
+
+def warmup_cosine_annealing(max_iter: int, warmup_steps: int = 500,
+                            min_lr_ratio: float = 0.0,
+                            warmup_factor: float = 1.0 / 3) -> Callable:
+    """WarmupCosineAnnealingLR (reference src/solver/lr_scheduler.py:59-103,
+    linear-warmup method); min_lr expressed as a ratio of base_lr so the
+    schedule stays a pure multiplier."""
+    def f(step):
+        step = jnp.asarray(step, jnp.float32)
+        alpha = step / jnp.maximum(1.0, warmup_steps)
+        warm = warmup_factor * (1 - alpha) + alpha
+        cos = min_lr_ratio + (1.0 - min_lr_ratio) * \
+            (1.0 + jnp.cos(jnp.pi * step / max_iter)) / 2.0
+        return jnp.where(step < warmup_steps, warm, cos)
+    return f
+
+
 def constant_schedule() -> Callable:
     return lambda step: jnp.asarray(1.0, jnp.float32)
 
@@ -76,6 +108,8 @@ SCHEDULES = {
     "linear": warmup_linear,
     "warmup_constant": warmup_constant,
     "warmup_cosine": warmup_cosine,
+    "warmup_cosine_hard_restarts": warmup_cosine_hard_restarts,
+    "cosine_annealing": warmup_cosine_annealing,
 }
 
 
