@@ -192,3 +192,15 @@ def test_tie_tag_weights_model():
                       jnp.float32)
     out = M.encode_images(params, img, cfg)
     assert out["tag_logits"].shape == (1, cfg.tag_vocab_size)
+
+
+def test_train_with_grain_loader(workdir):
+    """Same tiny train but through the Grain host pipeline
+    (loader: grain)."""
+    from vitcap_tpu.pipelines.caption_pipeline import CaptionUniPipeline
+    param = _param(workdir)
+    param["expid"] = "grain"
+    param["loader"] = "grain"
+    pip = CaptionUniPipeline(**param)
+    pip.ensure_train()
+    assert pip.is_train_finished()

@@ -167,8 +167,20 @@ class UniPipeline:
                         dataset=None):
         if dataset is None:
             dataset = self.get_dataset(is_train)
+        per_rank = (self.cfg.effective_batch_size // self.mpi_size
+                    if is_train else self.cfg.test_batch_size)
+        if self.cfg.get("loader") == "grain":
+            from ..data.grain_loader import GrainDataLoader
+            return GrainDataLoader(
+                dataset, per_rank,
+                shuffle=is_train and bool(self.cfg.train_shuffle),
+                seed=int(self.cfg.get("seed") or 0),
+                infinite=is_train,
+                max_iter=self.max_iter if is_train else None,
+                start_iter=start_iter,
+                shard_index=self.mpi_rank, shard_count=self.mpi_size,
+                num_workers=int(self.cfg.get("grain_workers") or 0))
         if is_train:
-            per_rank = self.cfg.effective_batch_size // self.mpi_size
             sampler = DistributedSampler(dataset, self.mpi_size,
                                          self.mpi_rank,
                                          shuffle=self.cfg.train_shuffle)
