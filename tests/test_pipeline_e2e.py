@@ -204,3 +204,21 @@ def test_train_with_grain_loader(workdir):
     pip = CaptionUniPipeline(**param)
     pip.ensure_train()
     assert pip.is_train_finished()
+
+
+def test_train_profiler_trace(workdir, tmp_path):
+    """jax_profile_dir captures a device trace window during training."""
+    import os
+    from vitcap_tpu.pipelines.caption_pipeline import CaptionUniPipeline
+    param = _param(workdir)
+    param["expid"] = "prof"
+    param["jax_profile_dir"] = str(tmp_path / "trace")
+    param["jax_profile_start"] = 1
+    param["jax_profile_steps"] = 1
+    pip = CaptionUniPipeline(**param)
+    pip.ensure_train()
+    found = []
+    for root, _, files in os.walk(tmp_path / "trace"):
+        found += [f for f in files if f.endswith((".trace.json.gz", ".pb",
+                                                  ".xplane.pb"))]
+    assert found, "no profiler artifacts written"

@@ -347,10 +347,19 @@ class CaptionUniPipeline(UniPipeline):
         elif self.cfg.get("pred_tag_train"):
             gen_tag_ratio = 1.0
 
+        # jax_profile_dir + jax_profile_steps: capture a device trace of a
+        # window of training steps (the train-side analogue of the predict
+        # hook in uni_pipeline.predict)
+        profile_dir = self.cfg.get("jax_profile_dir")
+        profile_at = int(self.cfg.get("jax_profile_start") or 2)
+        profile_n = int(self.cfg.get("jax_profile_steps") or 5)
+
         # host batches are prefetched by the thread-pool DataLoader; the
         # device transfer + step dispatch below are async, so host prep of
         # batch N+1 overlaps device compute of batch N
         for batch in loader:
+            if profile_dir and iteration == start_iter + profile_at:
+                jax.profiler.start_trace(profile_dir)
             data_time = time.time() - t_end
             dev = self._device_train_batch(batch, mesh, shard_batch)
             if gen_tag_ratio is not None:
@@ -360,6 +369,9 @@ class CaptionUniPipeline(UniPipeline):
                     jnp.float32)
             state, metrics = step_fn(state, dev)
             iteration += 1
+            if profile_dir and iteration == start_iter + profile_at + profile_n:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
             if iteration % log_step == 0 or iteration == self.max_iter:
                 m = {k: float(v) for k, v in metrics.items()}
                 if not np.isfinite(m["loss"]):
