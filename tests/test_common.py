@@ -72,3 +72,37 @@ def test_worth_create(tmp_path):
     assert not worth_create(str(base), str(derived))
     os.utime(str(derived), (os.path.getmtime(str(base)) - 10,) * 2)
     assert worth_create(str(base), str(derived))
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    """Orbax backend: save/load roundtrip, pointer interop, async save."""
+    import numpy as np
+    from vitcap_tpu.solver.checkpointing import Checkpointer, load_state
+
+    state = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+                        "blocks": [{"k": np.ones(4, np.float32)},
+                                   {"k": np.zeros(4, np.float32)}]}}
+    ck = Checkpointer(str(tmp_path / "snap"), backend="orbax")
+    p = ck.save(3, state)
+    assert p.endswith(".orbax")
+    back = load_state(ck.last_checkpoint())
+    assert int(back["iteration"]) == 3
+    np.testing.assert_array_equal(back["params"]["w"], state["params"]["w"])
+    np.testing.assert_array_equal(back["params"]["blocks"][1]["k"],
+                                  np.zeros(4))
+    # recover_or_load resumes from the orbax dir
+    params, full, it = ck.recover_or_load(None, {"w": np.zeros((2, 3))})
+    assert it == 3 and full is not None
+
+    # async saves land after wait_until_finished
+    ck2 = Checkpointer(str(tmp_path / "snap2"), backend="orbax",
+                       async_save=True)
+    ck2.save(1, state)
+    ck2.wait_until_finished()
+    back2 = load_state(ck2.last_checkpoint())
+    np.testing.assert_array_equal(back2["params"]["w"], state["params"]["w"])
+
+    # msgpack and orbax interoperate behind the same pointer file
+    ck3 = Checkpointer(str(tmp_path / "snap"))   # msgpack view of same dir
+    ck3.save(5, state)
+    assert load_state(ck3.last_checkpoint())["iteration"] == 5

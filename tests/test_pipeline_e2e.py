@@ -222,3 +222,19 @@ def test_train_profiler_trace(workdir, tmp_path):
         found += [f for f in files if f.endswith((".trace.json.gz", ".pb",
                                                   ".xplane.pb"))]
     assert found, "no profiler artifacts written"
+
+
+def test_train_resume_orbax_backend(workdir):
+    """Train with checkpoint_backend: orbax, interrupt, resume from the
+    orbax snapshot (same flow as test_resume_from_snapshot)."""
+    from vitcap_tpu.pipelines.caption_pipeline import CaptionUniPipeline
+    param = _param(workdir)
+    param["expid"] = "orbax"
+    param["max_iter"] = 4
+    param["snapshot_steps"] = 2
+    param["checkpoint_backend"] = "orbax"
+    pip = CaptionUniPipeline(**param)
+    pip.ensure_train()
+    assert pip.is_train_finished()
+    import os.path as op
+    assert op.isdir(op.join(pip.model_folder, "model_iter_0000004.orbax"))

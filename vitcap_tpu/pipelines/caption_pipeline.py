@@ -305,7 +305,10 @@ class CaptionUniPipeline(UniPipeline):
 
         cfg = self.model_cfg
         mesh = self._make_mesh()
-        ckpt = Checkpointer(self.model_folder)
+        ckpt = Checkpointer(
+            self.model_folder,
+            backend=self.cfg.get("checkpoint_backend") or "msgpack",
+            async_save=bool(self.cfg.get("async_checkpoint")))
         params = M.init_params(jax.random.PRNGKey(self.cfg.random_seed), cfg)
         params, full_state, start_iter = ckpt.recover_or_load(
             self.cfg.basemodel, params)
@@ -411,7 +414,10 @@ class CaptionUniPipeline(UniPipeline):
         from ..solver.optimization import AdamWState
 
         cfg = self.model_cfg
-        ckpt = Checkpointer(self.model_folder)
+        ckpt = Checkpointer(
+            self.model_folder,
+            backend=self.cfg.get("checkpoint_backend") or "msgpack",
+            async_save=bool(self.cfg.get("async_checkpoint")))
         params = M.init_params(jax.random.PRNGKey(self.cfg.random_seed), cfg)
         params, full_state, start_iter = ckpt.recover_or_load(
             self.cfg.basemodel, params)

@@ -121,7 +121,10 @@ class UniPipeline:
     def get_checkpoint_file(self, iteration: Optional[int] = None) -> str:
         if iteration is None:
             iteration = self.max_iter
-        return op.join(self.model_folder, f"model_iter_{iteration:07d}.ckpt")
+        suffix = ".orbax" if self.cfg.get("checkpoint_backend") == "orbax" \
+            else ".ckpt"
+        return op.join(self.model_folder,
+                       f"model_iter_{iteration:07d}{suffix}")
 
     def append_predict_param(self, cc: list) -> None:
         if self.cfg.test_max_iter is not None:      # speed-test predicate
@@ -147,7 +150,8 @@ class UniPipeline:
         return op.splitext(predict_file)[0] + ".report"
 
     def is_train_finished(self) -> bool:
-        return op.isfile(self.get_checkpoint_file())
+        # orbax checkpoints are directories, msgpack are files
+        return op.exists(self.get_checkpoint_file())
 
     # ------------------------------------------------------------------
     # factories (subclass hooks)
@@ -213,7 +217,7 @@ class UniPipeline:
     def ensure_train(self):
         self._ensure_initialized()
         last = self.get_checkpoint_file()
-        if op.isfile(last) and not self.cfg.force_train:
+        if op.exists(last) and not self.cfg.force_train:
             logging.info("skip to train: %s exists", last)
             return
         if self.mpi_rank == 0:
@@ -230,7 +234,7 @@ class UniPipeline:
         if model_file is None:
             model_file = self.get_checkpoint_file()
         predict_file = self.get_predict_file(model_file)
-        if not op.isfile(model_file):
+        if not op.exists(model_file):
             logging.info("no model file %s; skip predict", model_file)
             return predict_file
         if not worth_create(model_file, predict_file) \

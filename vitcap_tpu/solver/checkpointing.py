@@ -7,9 +7,16 @@ Mirrors the reference Checkpointer semantics
 and otherwise initializes from a base model (either a torch `.pt` through
 solver.checkpoint_bridge, or a native ckpt).
 
-Serialization is flax msgpack over the pure pytree state (params + AdamW
-moments + iteration) written atomically (tmp + rename, like the reference's
-tsv writers).
+Serialization backends:
+- `msgpack` (default): flax msgpack over the pure pytree state (params +
+  AdamW moments + iteration), one file, written atomically (tmp + rename,
+  like the reference's tsv writers).
+- `orbax`: orbax.checkpoint StandardCheckpointer directories — the
+  TPU-native format (sharded-array aware, multi-host coordinated), with
+  optional async saves that overlap serialization with training
+  (`Checkpointer(..., backend='orbax', async_save=True)`).
+Loading auto-detects the format (file = msgpack, directory = orbax), so
+the two interoperate behind the same `last_checkpoint` pointer.
 """
 
 from __future__ import annotations
@@ -42,17 +49,35 @@ def save_state(path: str, state: Dict[str, Any]) -> None:
 
 
 def load_state(path: str) -> Dict[str, Any]:
+    if op.isdir(path):                        # orbax checkpoint directory
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ck:
+            return ck.restore(op.abspath(path))
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
 
 
 class Checkpointer:
-    def __init__(self, save_dir: str):
+    def __init__(self, save_dir: str, backend: str = "msgpack",
+                 async_save: bool = False):
+        assert backend in ("msgpack", "orbax"), backend
         self.save_dir = save_dir
+        self.backend = backend
+        self.async_save = async_save
+        self._orbax = None
+        if backend == "orbax":
+            import orbax.checkpoint as ocp
+            # StandardCheckpointer is itself async under the hood; in sync
+            # mode we block right after save so `last_checkpoint` is
+            # immediately loadable
+            self._orbax = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler()) if async_save \
+                else ocp.StandardCheckpointer()
         ensure_directory(save_dir)
 
     def checkpoint_path(self, iteration: int) -> str:
-        return op.join(self.save_dir, f"model_iter_{iteration:07d}.ckpt")
+        suffix = ".orbax" if self.backend == "orbax" else ".ckpt"
+        return op.join(self.save_dir, f"model_iter_{iteration:07d}{suffix}")
 
     @property
     def pointer_file(self) -> str:
@@ -60,12 +85,26 @@ class Checkpointer:
 
     def save(self, iteration: int, state: Dict[str, Any]) -> str:
         path = self.checkpoint_path(iteration)
-        save_state(path, dict(state, iteration=np.int64(iteration)))
+        full = dict(state, iteration=np.int64(iteration))
+        if self._orbax is not None:
+            # orbax manages its own atomic tmp-then-rename; async handlers
+            # return immediately and serialize in the background
+            self._orbax.save(op.abspath(path), full, force=True)
+            if not self.async_save:
+                self._orbax.wait_until_finished()
+        else:
+            save_state(path, full)
         with open(self.pointer_file + ".tmp", "w") as f:
             f.write(path)
         os.replace(self.pointer_file + ".tmp", self.pointer_file)
         logging.info("saved %s", path)
         return path
+
+    def wait_until_finished(self) -> None:
+        """Block on in-flight async orbax saves (call before exit)."""
+        if self._orbax is not None and hasattr(self._orbax,
+                                               "wait_until_finished"):
+            self._orbax.wait_until_finished()
 
     def has_checkpoint(self) -> bool:
         return op.isfile(self.pointer_file)
@@ -75,7 +114,7 @@ class Checkpointer:
             return None
         with open(self.pointer_file) as f:
             path = f.read().strip()
-        return path if op.isfile(path) else None
+        return path if op.exists(path) else None
 
     def recover_or_load(self, basemodel: Optional[str], params: Params
                         ) -> Tuple[Params, Optional[Dict[str, Any]], int]:
