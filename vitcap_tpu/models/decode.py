@@ -106,7 +106,9 @@ def build_context_embeddings(params: Params, images: jnp.ndarray,
     """
     B, od_len = od_ids.shape
     dtype = cfg.compute_dtype
-    enc = M.encode_images(params, images, cfg, visual_token_idx)
+    from ..ops import inference_mode
+    with inference_mode():                 # trace-time: Pallas attn on TPU
+        enc = M.encode_images(params, images, cfg, visual_token_idx)
 
     # od/tag text slots: positions start at max(od_labels_start_posid,
     # max_length) (reference generate :958)
@@ -170,13 +172,15 @@ def build_decode_context(params: Params, images: jnp.ndarray,
     ctx_k: List[jnp.ndarray] = []
     ctx_v: List[jnp.ndarray] = []
     x = ctx
-    for layer in params["decoder"]["layer"]:
-        ps = layer["attention"]["self"]
-        # store in head layout so decode steps read the caches directly
-        # (no per-step transpose inside the scan)
-        ctx_k.append(to_heads(dense(ps["key"], x)))
-        ctx_v.append(to_heads(dense(ps["value"], x)))
-        x = _bert_layer_full(layer, x, bias, cfg)
+    from ..ops import inference_mode
+    with inference_mode():
+        for layer in params["decoder"]["layer"]:
+            ps = layer["attention"]["self"]
+            # store in head layout so decode steps read the caches directly
+            # (no per-step transpose inside the scan)
+            ctx_k.append(to_heads(dense(ps["key"], x)))
+            ctx_v.append(to_heads(dense(ps["value"], x)))
+            x = _bert_layer_full(layer, x, bias, cfg)
     return {
         "ctx_k": ctx_k, "ctx_v": ctx_v,    # per decoder layer (B,nH,S_ctx,hd)
         "ctx_valid": ctx_valid,            # (B, S_ctx)
