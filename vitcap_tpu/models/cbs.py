@@ -241,6 +241,7 @@ def constrained_beam_search(params, images: jnp.ndarray, od_ids: jnp.ndarray,
     G = S * nb                                     # beams per image
     ctx = D.build_decode_context(params, images, od_ids, od_token_type_ids,
                                  seq_len, cfg, opts)
+    params = D._decode_params_cast(params, cfg)   # once, outside the scan
     cap_k, cap_v = D._init_caps(B * G, cfg.decoder_layers, A,
                                 cfg.hidden_size, cfg.compute_dtype,
                                 cfg.num_attention_heads)
