@@ -165,3 +165,17 @@ def test_pipeline_uses_registry_patch_size(tmp_path):
     from vitcap_tpu.models.registry import model_spec
     s = model_spec("vit_base_patch32_384")
     assert s.patch_size == 32
+
+
+def test_vit_forward_return_attn():
+    """return_attn visualization hook: per-block probs, rows sum to 1."""
+    m = R.create_model("vit_tiny_patch16_224", img_size=32, num_classes=0)
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    feats, attns = R.vit_forward(m.params, imgs, m.spec, return_attn=True)
+    depth = len(m.params["blocks"])
+    L = 1 + 4
+    assert attns.shape == (depth, 2, m.spec.num_heads, L, L)
+    np.testing.assert_allclose(np.asarray(attns.sum(-1)), 1.0, rtol=1e-5)
+    # base forward unchanged
+    feats2 = R.vit_forward(m.params, imgs, m.spec)
+    np.testing.assert_array_equal(np.asarray(feats), np.asarray(feats2))

@@ -207,17 +207,43 @@ def init_vision_params(rng: jax.Array, spec: VisionModelSpec) -> Params:
 
 def vit_forward(params: Params, images: jnp.ndarray,
                 spec: VisionModelSpec, head: bool = False,
-                dtype=jnp.float32) -> jnp.ndarray:
+                return_attn: bool = False, dtype=jnp.float32):
     """Patchify -> blocks -> final norm; head=True pools CLS into logits
     (reference VisionTransformer.forward :434-447; `output_grid` mode is
-    head=False, which returns all post-norm tokens)."""
+    head=False, which returns all post-norm tokens).
+
+    return_attn=True additionally returns the per-block attention
+    probabilities stacked as (depth, B, heads, L, L) — the reference fork's
+    `return_attn` visualization hook (vision_transformer.py:174-182)."""
     x = vision_embed(params, images.astype(dtype), spec.patch_size)
+    attns = []
     for blk in params["blocks"]:
+        if return_attn:
+            attns.append(_block_attn_probs(blk, x, spec))
         x = vit_block(blk, x, spec.num_heads, spec.ln_eps)
     x = layer_norm(params["norm"], x, spec.ln_eps)
-    if head:
-        return dense(params["head"], x[:, 0])
-    return x
+    out = dense(params["head"], x[:, 0]) if head else x
+    if return_attn:
+        return out, jnp.stack(attns)
+    return out
+
+
+def _block_attn_probs(blk: Params, x: jnp.ndarray,
+                      spec: VisionModelSpec) -> jnp.ndarray:
+    """Softmax attention probabilities of one block (visualization only —
+    the main path never materializes these)."""
+    from .layers import layer_norm as ln
+    B, L, H = x.shape
+    nh = spec.num_heads
+    hd = H // nh
+    y = ln(blk["norm1"], x, spec.ln_eps)
+    qkv = dense(blk["attn"]["qkv"], y)
+    q, k, _ = jnp.split(qkv, 3, axis=-1)
+    qh = q.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32) * hd ** -0.5
+    return jax.nn.softmax(s, axis=-1)
 
 
 def create_model(name: str, pretrained: bool = False,
