@@ -238,3 +238,32 @@ def test_train_resume_orbax_backend(workdir):
     assert pip.is_train_finished()
     import os.path as op
     assert op.isdir(op.join(pip.model_folder, "model_iter_0000004.orbax"))
+
+
+def test_predict_local_data_parallel(workdir):
+    """Prediction shards the batch over all local (virtual) devices when
+    test_batch_size divides the device count; captions must match the
+    single-device run."""
+    import jax
+    if jax.local_device_count() < 2:
+        pytest.skip("needs a multi-device mesh")
+    import json as _json
+    from vitcap_tpu.pipelines.caption_pipeline import CaptionUniPipeline
+    from vitcap_tpu.data.tsv import tsv_reader
+    base = _param(workdir)
+    base["expid"] = "dp_predict"
+    pip = CaptionUniPipeline(**base)
+    pip.ensure_train()
+
+    def captions(extra):
+        p = dict(base, **extra)
+        pp = CaptionUniPipeline(**p)
+        f = pp.ensure_predict(pip.get_checkpoint_file())
+        return {k: _json.loads(v)[0]["caption"] for k, v in tsv_reader(f)}
+
+    multi = captions({"test_batch_size": jax.local_device_count(),
+                      "full_expid": pip.full_expid})
+    # force_predict: same artifact name, so the second run must recompute
+    single = captions({"test_batch_size": 1, "full_expid": pip.full_expid,
+                       "force_predict": True})
+    assert multi == single

@@ -574,6 +574,20 @@ class CaptionUniPipeline(UniPipeline):
         A = opts.max_length
         cbs = self._make_cbs_decoder() if self.cfg.use_cbs else None
 
+        # local data-parallel decode: all local chips share one mesh, the
+        # batch shards on the data axis, params replicate (multi-HOST
+        # parallelism is the per-rank TSV sharding above this)
+        mesh = None
+        if jax.local_device_count() > 1 and not self.cfg.use_cbs \
+                and int(self.cfg.test_batch_size) \
+                % jax.local_device_count() == 0:
+            from ..parallel.mesh import (batch_sharding, make_mesh,
+                                         replicated)
+            mesh = make_mesh(n_data=jax.local_device_count(), n_model=1,
+                             devices=jax.local_devices())
+            params = jax.device_put(params, replicated(mesh))
+            b_shard = batch_sharding(mesh)
+
         @partial(jax.jit, static_argnums=())
         def run(params, images, od_ids, tt, seq_len):
             out = D.generate(params, images, od_ids, tt, seq_len, cfg, opts)
@@ -607,10 +621,12 @@ class CaptionUniPipeline(UniPipeline):
                 ids = best[:n, None, :]
                 confs = np.exp(best_lp)[:n, None]
             else:
-                ids, logprobs = run(params, jnp.asarray(images),
-                                    jnp.asarray(od_ids),
-                                    jnp.asarray(tt[:, A:]),
-                                    jnp.asarray(seq_len))
+                if mesh is not None:
+                    put = lambda a: jax.device_put(jnp.asarray(a), b_shard)
+                else:
+                    put = jnp.asarray
+                ids, logprobs = run(params, put(images), put(od_ids),
+                                    put(tt[:, A:]), put(seq_len))
                 ids = np.asarray(ids)[:n]
                 confs = np.exp(np.asarray(logprobs))[:n]
             meters.update(decode_time=time.time() - t0)
