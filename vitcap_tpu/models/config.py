@@ -65,6 +65,14 @@ class ModelConfig:
                                          # (…bertemb.py:400); stale SCST pipeline
                                          # adds tag loss (…expanding.py:401)
 
+    # attention-aware token filtering (opt-in inference/train speed knob;
+    # NOT reference behavior — pattern follows the retrieved ViT token
+    # reduction literature, see PAPERS.md): at trunk block
+    # token_filter_block, keep the ceil(keep * N) visual tokens with the
+    # highest CLS-attention mass (CLS always kept); 0.0 disables.
+    token_filter_keep: float = 0.0
+    token_filter_block: int = 2
+
     # wiring
     tagemb: str = "cls"                  # tag embeddings from tied LM-head weight
     tie_weights: bool = True

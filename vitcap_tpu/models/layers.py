@@ -175,6 +175,31 @@ def vit_block_cls_only(p: Params, x: jnp.ndarray, num_heads: int,
     return x0
 
 
+def cls_attention_scores(p: Params, x: jnp.ndarray, num_heads: int,
+                         ln_eps: float) -> jnp.ndarray:
+    """CLS-row attention mass of a ViT block over its input (B, L) —
+    the token-importance signal for attention-aware filtering (cheap: one
+    query row, no value matmul)."""
+    B, L, H = x.shape
+    hd = H // num_heads
+    y = layer_norm(p["norm1"], x, ln_eps)
+    qkv_k = p["attn"]["qkv"]["kernel"]
+    q = jnp.dot(y[:, :1], qkv_k[:, :H].astype(x.dtype),
+                preferred_element_type=x.dtype)
+    k = jnp.dot(y, qkv_k[:, H:2 * H].astype(x.dtype),
+                preferred_element_type=x.dtype)
+    if "bias" in p["attn"]["qkv"]:
+        b = p["attn"]["qkv"]["bias"]
+        q = q + b[:H].astype(x.dtype)
+        k = k + b[H:2 * H].astype(x.dtype)
+    qh = q.reshape(B, 1, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32) * hd ** -0.5
+    probs = jax.nn.softmax(s, axis=-1)       # (B, h, 1, L)
+    return probs.mean(axis=1)[:, 0]          # (B, L)
+
+
 def patch_embed(p: Params, images: jnp.ndarray) -> jnp.ndarray:
     """images (B, H, W, C) NHWC, or (B, N, P*P*C) pre-patchified on the
     host -> patch tokens (B, N, H).

@@ -223,6 +223,8 @@ def split_encoder(params: Params, visual_in: jnp.ndarray, cfg: ModelConfig
     fork_at = cfg.num_hidden_layers - cfg.split_blocks
     tag_x = None
     for idx, blk in enumerate(params["encoder"]["blocks"]):
+        if cfg.token_filter_keep and idx == cfg.token_filter_block:
+            x = _filter_tokens_by_attention(blk, x, cfg)
         if idx == fork_at:
             tag_x = x
         x = blk_fn(blk, x)
@@ -234,6 +236,25 @@ def split_encoder(params: Params, visual_in: jnp.ndarray, cfg: ModelConfig
         tag_x = blk_fn(blk, tag_x)
     tag_cls = cls_fn(tag_blocks[-1], tag_x) if tag_blocks else tag_x[:, :1]
     return x, tag_cls
+
+
+def _filter_tokens_by_attention(blk: Params, x: jnp.ndarray,
+                                cfg: ModelConfig) -> jnp.ndarray:
+    """Attention-aware token filtering (opt-in, cfg.token_filter_keep): keep
+    the ceil(keep * n_patch) patch tokens with the highest CLS-attention
+    mass under the upcoming block, plus CLS itself; kept tokens stay in
+    their original order.  Static output shape, so the whole step still
+    compiles once."""
+    import math
+    B, L, H = x.shape
+    from .layers import cls_attention_scores
+    scores = cls_attention_scores(blk, x, cfg.num_attention_heads,
+                                  cfg.vit_layer_norm_eps)      # (B, L)
+    n_keep = int(math.ceil(cfg.token_filter_keep * (L - 1)))
+    _, idx = jax.lax.top_k(scores[:, 1:], n_keep)              # patch idx
+    idx = jnp.sort(idx, axis=1) + 1                            # keep order
+    idx = jnp.concatenate([jnp.zeros((B, 1), idx.dtype), idx], axis=1)
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
 
 
 def tag_logits_from_hidden(params: Params, tag_hidden: jnp.ndarray,

@@ -171,6 +171,8 @@ class CaptionUniPipeline(UniPipeline):
             tie_tag_weights=bool(self.cfg.get("tie_tag_weights") or False),
             mask_type=self.cfg.mask_type,
             dtype=self.cfg.compute_dtype,
+            token_filter_keep=float(self.cfg.get("token_filter_keep") or 0.0),
+            token_filter_block=int(self.cfg.get("token_filter_block") or 2),
         )
         return self._model_cfg
 
