@@ -71,8 +71,10 @@ class _NoHierarchyFilter:
         pairs = [(c, s) for c, s in zip(class_names, scores)
                  if s > 0 and c not in BLACKLIST]
         pairs.sort(key=lambda t: -t[1])
-        names = [REPLACEMENTS.get(c, c) for c, _ in pairs[: self._max]]
-        return list(dict.fromkeys(names))
+        # dedup BEFORE truncating (like ConstraintFilter's NMS) so duplicate
+        # detections don't eat constraint slots
+        names = list(dict.fromkeys(REPLACEMENTS.get(c, c) for c, _ in pairs))
+        return names[: self._max]
 
 
 def main(argv=None):

@@ -230,3 +230,30 @@ def test_warmup_cosine_annealing_matches_reference():
                                    rtol=1e-5, atol=1e-7, err_msg=f"step {step}")
         optt.step()
         sched.step()
+
+
+def test_schedule_registry_calling_convention():
+    """Every SCHEDULES entry accepts (warmup_steps, t_total) positionally —
+    the train step's calling convention (a swapped-signature registration
+    once produced a warmup-forever schedule)."""
+    from vitcap_tpu.solver.optimization import (SCHEDULES,
+                                                warmup_cosine_annealing)
+    for name, f in SCHEDULES.items():
+        sched = f(3, 30)
+        start, end = float(sched(0)), float(sched(29))
+        assert 0.0 <= start <= 1.0 and 0.0 <= end <= 1.0, name
+    # cosine_annealing through the registry == direct keyword call
+    reg = SCHEDULES["cosine_annealing"](4, 30)
+    direct = warmup_cosine_annealing(30, warmup_steps=4)
+    for s in (0, 4, 15, 29):
+        np.testing.assert_allclose(float(reg(s)), float(direct(s)))
+    # and it must actually decay, not warm up forever
+    assert float(reg(29)) < 0.05
+
+
+def test_train_rng_is_rbg():
+    from vitcap_tpu.solver.train_step import train_rng
+    for src in (7, jax.random.PRNGKey(7)):
+        k = train_rng(src)
+        assert "rbg" in str(jax.random.key_impl(k)).lower()
+        jax.random.bernoulli(k, 0.5, (4,))       # usable key

@@ -41,13 +41,19 @@ class GrainDataLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.start_iter = start_iter
+        self._infinite = infinite
         n = len(dataset)
 
         if infinite:
             assert max_iter is not None
             per_shard = n // shard_count if shard_count > 1 else n
             self._len = max_iter - start_iter
-            batches_per_epoch = max(1, per_shard // batch_size)
+            batches_per_epoch = per_shard // batch_size
+            if batches_per_epoch == 0:
+                raise ValueError(
+                    f"shard has {per_shard} records < batch_size "
+                    f"{batch_size}: with drop_remainder the loader would "
+                    f"never emit a batch")
             epochs = math.ceil(max_iter / batches_per_epoch) + 1
         else:
             per_shard = int(math.ceil(n / shard_count))
@@ -88,11 +94,15 @@ class GrainDataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         it = iter(self._loader)
-        for _ in range(self._len):
+        for i in range(self._len):
             try:
                 yield next(it)
             except StopIteration:
-                return
+                if not self._infinite:
+                    return                   # test epoch: remainder batch
+                raise RuntimeError(          # never silently under-train
+                    f"grain pipeline exhausted after {i} of {self._len} "
+                    f"batches")
 
     def checkpointable_iter(self):
         """Raw grain iterator (get_state/set_state for exact mid-epoch
@@ -110,8 +120,18 @@ class _OffsetSampler:
 
     def __getattr__(self, name):
         # forward sampler metadata (e.g. _shard_options, which DataLoader
-        # introspects) to the wrapped sampler
-        return getattr(self._base, name)
+        # introspects) to the wrapped sampler.  Never forward dunders:
+        # pickle's __getstate__/__reduce__ lookups must see the wrapper
+        # itself or unpickled copies lose _base and recurse forever.
+        if name.startswith("__") and name.endswith("__"):
+            raise AttributeError(name)
+        return getattr(self.__dict__["_base"], name)
+
+    def __getstate__(self):
+        return self.__dict__
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
 
     def __len__(self) -> int:
         return max(0, len(self._base) - self._offset)

@@ -170,8 +170,13 @@ class CaptionTaggerTensorizer:
                 if tag.get("conf", 1.0) >= self.threshold:
                     for t in tag["class"].split(" "):
                         label[tok.convert_tokens_to_ids(t)] = 1
-        if self.encode == "precomputed" and tag_words is not None:
-            for word in tag_words:
+        if self.encode == "precomputed":
+            if tag_words is None and caption is not None:
+                raise ValueError(
+                    "encode='precomputed' but the sample has no "
+                    "caption_tags — run tools/precompute_tags.py and make "
+                    "sure LoadCaptionTags is in the transform chain")
+            for word in tag_words or []:
                 for t in word.split(" "):
                     label[tok.convert_tokens_to_ids(t)] = 1
         elif caption is not None:

@@ -92,10 +92,14 @@ def build_context_embeddings(params: Params, images: jnp.ndarray,
                              od_token_type_ids: Optional[jnp.ndarray],
                              seq_len: jnp.ndarray, cfg: ModelConfig,
                              opts: DecodeOptions,
-                             visual_token_idx: Optional[jnp.ndarray] = None
-                             ) -> Dict[str, Any]:
+                             visual_token_idx: Optional[jnp.ndarray] = None,
+                             inference: bool = True) -> Dict[str, Any]:
     """Vision + tag selection + pre-decoder context embeddings
     [od/tag slots, tagCLS, visual] and their validity mask.
+
+    inference=False keeps the XLA attention path (gradients flow through
+    this in SCST scoring; the Pallas kernel's recompute backward is
+    slower).
 
     od_ids: (B, od_len) od-label token ids (tail slots are overwritten by
       predicted concept embeddings, like the reference).
@@ -106,8 +110,10 @@ def build_context_embeddings(params: Params, images: jnp.ndarray,
     """
     B, od_len = od_ids.shape
     dtype = cfg.compute_dtype
+    import contextlib
     from ..ops import inference_mode
-    with inference_mode():                 # trace-time: Pallas attn on TPU
+    guard = inference_mode() if inference else contextlib.nullcontext()
+    with guard:                            # trace-time: Pallas attn on TPU
         enc = M.encode_images(params, images, cfg, visual_token_idx)
 
     # od/tag text slots: positions start at max(od_labels_start_posid,

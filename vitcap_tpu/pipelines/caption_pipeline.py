@@ -321,11 +321,14 @@ class CaptionUniPipeline(UniPipeline):
 
         params = shard_params(params, mesh)
         if full_state is not None:
+            from ..solver.train_step import train_rng
             state = TrainState(
                 params,
                 AdamWState(jnp.asarray(full_state["opt"]["step"]),
                            full_state["opt"]["mu"], full_state["opt"]["nu"]),
-                jax.random.PRNGKey(self.cfg.random_seed + start_iter))
+                # through train_rng: resumed steps must keep the rbg PRNG
+                # (raw threefry keys re-trigger the remat HBM blowup)
+                train_rng(int(self.cfg.random_seed) + start_iter))
         else:
             state = init_train_state(
                 params, jax.random.PRNGKey(self.cfg.random_seed))
@@ -358,6 +361,7 @@ class CaptionUniPipeline(UniPipeline):
         profile_dir = self.cfg.get("jax_profile_dir")
         profile_at = int(self.cfg.get("jax_profile_start") or 2)
         profile_n = int(self.cfg.get("jax_profile_steps") or 5)
+        tracing = False
 
         # host batches are prefetched by the thread-pool DataLoader; the
         # device transfer + step dispatch below are async, so host prep of
@@ -365,6 +369,7 @@ class CaptionUniPipeline(UniPipeline):
         for batch in loader:
             if profile_dir and iteration == start_iter + profile_at:
                 jax.profiler.start_trace(profile_dir)
+                tracing = True
             data_time = time.time() - t_end
             dev = self._device_train_batch(batch, mesh, shard_batch)
             if gen_tag_ratio is not None:
@@ -374,9 +379,10 @@ class CaptionUniPipeline(UniPipeline):
                     jnp.float32)
             state, metrics = step_fn(state, dev)
             iteration += 1
-            if profile_dir and iteration == start_iter + profile_at + profile_n:
+            if tracing and iteration >= start_iter + profile_at + profile_n:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
+                tracing = False
             if iteration % log_step == 0 or iteration == self.max_iter:
                 m = {k: float(v) for k, v in metrics.items()}
                 if not np.isfinite(m["loss"]):
@@ -396,8 +402,14 @@ class CaptionUniPipeline(UniPipeline):
             t_end = time.time()
             if iteration >= self.max_iter:
                 break
+        if tracing:                       # window ran past max_iter
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
         if self.mpi_rank == 0:
             ckpt.save(self.max_iter, self._state_dict(state))
+        # async orbax saves serialize in the background; the final snapshot
+        # must be durable before ensure_train returns (predict checks it)
+        ckpt.wait_until_finished()
         return state
 
     def _train_scst(self):
@@ -424,11 +436,14 @@ class CaptionUniPipeline(UniPipeline):
         params, full_state, start_iter = ckpt.recover_or_load(
             self.cfg.basemodel, params)
         if full_state is not None:
+            from ..solver.train_step import train_rng
             state = TrainState(
                 params,
                 AdamWState(jnp.asarray(full_state["opt"]["step"]),
                            full_state["opt"]["mu"], full_state["opt"]["nu"]),
-                jax.random.PRNGKey(self.cfg.random_seed + start_iter))
+                # through train_rng: resumed steps must keep the rbg PRNG
+                # (raw threefry keys re-trigger the remat HBM blowup)
+                train_rng(int(self.cfg.random_seed) + start_iter))
         else:
             state = init_train_state(
                 params, jax.random.PRNGKey(self.cfg.random_seed))
@@ -493,6 +508,9 @@ class CaptionUniPipeline(UniPipeline):
                 break
         if self.mpi_rank == 0:
             ckpt.save(self.max_iter, self._state_dict(state))
+        # async orbax saves serialize in the background; the final snapshot
+        # must be durable before ensure_train returns (predict checks it)
+        ckpt.wait_until_finished()
         return state
 
     @staticmethod

@@ -178,7 +178,7 @@ class UniPipeline:
             return GrainDataLoader(
                 dataset, per_rank,
                 shuffle=is_train and bool(self.cfg.train_shuffle),
-                seed=int(self.cfg.get("seed") or 0),
+                seed=int(self.cfg.get("seed") or self.cfg.random_seed or 0),
                 infinite=is_train,
                 max_iter=self.max_iter if is_train else None,
                 start_iter=start_iter,

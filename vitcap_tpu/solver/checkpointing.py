@@ -114,7 +114,16 @@ class Checkpointer:
             return None
         with open(self.pointer_file) as f:
             path = f.read().strip()
-        return path if op.exists(path) else None
+        if op.exists(path):
+            return path
+        # the pointer may name an async orbax save that never finalized
+        # (crash mid-save) — fall back to the newest snapshot that actually
+        # exists instead of discarding all earlier valid checkpoints
+        import glob
+        done = sorted(glob.glob(op.join(self.save_dir, "model_iter_*.ckpt"))
+                      + glob.glob(op.join(self.save_dir,
+                                          "model_iter_*.orbax")))
+        return done[-1] if done else None
 
     def recover_or_load(self, basemodel: Optional[str], params: Params
                         ) -> Tuple[Params, Optional[Dict[str, Any]], int]:

@@ -104,12 +104,16 @@ def constant_schedule() -> Callable:
     return lambda step: jnp.asarray(1.0, jnp.float32)
 
 
+# registry entries share the (warmup_steps, t_total) calling convention the
+# train step uses (train_step.py builds SCHEDULES[type](warmup, max_iter))
 SCHEDULES = {
     "linear": warmup_linear,
-    "warmup_constant": warmup_constant,
+    "warmup_constant": lambda warmup_steps, t_total=None:
+        warmup_constant(warmup_steps),
     "warmup_cosine": warmup_cosine,
     "warmup_cosine_hard_restarts": warmup_cosine_hard_restarts,
-    "cosine_annealing": warmup_cosine_annealing,
+    "cosine_annealing": lambda warmup_steps, t_total:
+        warmup_cosine_annealing(t_total, warmup_steps=warmup_steps),
 }
 
 
@@ -273,4 +277,8 @@ def warmup_multi_step(warmup_steps: int, milestones, gamma: float = 0.1,
     return f
 
 
-SCHEDULES["multistep"] = warmup_multi_step
+# registry entry follows the (warmup_steps, t_total) train-step convention;
+# default milestones use the maskrcnn 2/3 + 8/9 rule.  Call
+# warmup_multi_step directly for explicit milestones.
+SCHEDULES["multistep"] = lambda warmup_steps, t_total: warmup_multi_step(
+    warmup_steps, (int(t_total * 2 / 3), int(t_total * 8 / 9)))

@@ -119,7 +119,8 @@ def score_caption_logprobs(params: Params, images: jnp.ndarray,
 
     ce = D.build_context_embeddings(params, images, od_ids,
                                     od_token_type_ids, seq_len, cfg, opts,
-                                    visual_token_idx)
+                                    visual_token_idx,
+                                    inference=False)  # grads flow here
     ctx, ctx_valid = ce["ctx"], ce["ctx_valid"]
     if K > 1:
         ctx = jnp.repeat(ctx, K, axis=0)

@@ -48,21 +48,29 @@ class TrainHyper:
     ln_no_weight_decay: bool = True
 
 
-def init_train_state(params: Params, rng: jax.Array) -> TrainState:
-    """Optimizer state + a train-time RNG key.
+def train_rng(rng_or_seed) -> jax.Array:
+    """Train-time RNG key on the `rbg` PRNG.
 
-    The key is converted to the `rbg` PRNG: threefry bit-generation inside
-    rematerialized layers makes XLA's scheduler blow past HBM at per-chip
-    batch >= 128 (81 GB vs 10.6 GB observed); rbg dropout masks compile
-    linearly.  Typed keys carry their impl through split/fold_in, so this
-    only affects train-time dropout streams."""
+    threefry bit-generation inside rematerialized layers makes XLA's
+    scheduler blow past HBM at per-chip batch >= 128 (81 GB vs 10.6 GB
+    observed); rbg dropout masks compile linearly.  Typed keys carry their
+    impl through split/fold_in, so this only affects train-time dropout
+    streams.  EVERY TrainState construction (init AND checkpoint resume)
+    must build its key through here."""
+    if isinstance(rng_or_seed, int):
+        rng = jax.random.PRNGKey(rng_or_seed)
+    else:
+        rng = rng_or_seed
     if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
         seed_bits = jax.random.key_data(rng)
     else:
         seed_bits = rng
-    rng = jax.random.wrap_key_data(
+    return jax.random.wrap_key_data(
         jnp.resize(seed_bits.astype(jnp.uint32), (4,)), impl="rbg")
-    return TrainState(params, adamw_init(params), rng)
+
+
+def init_train_state(params: Params, rng: jax.Array) -> TrainState:
+    return TrainState(params, adamw_init(params), train_rng(rng))
 
 
 def make_train_step(cfg: ModelConfig, hyper: TrainHyper,
