@@ -87,3 +87,78 @@ def test_model_forward_same_with_pallas_interpret(monkeypatch):
     np.testing.assert_allclose(np.asarray(aux0["tag_logits"]),
                                np.asarray(aux1["tag_logits"]),
                                rtol=1e-4, atol=1e-4)
+
+
+class TestFusedVitAttn:
+    """Fused LN1+QKV+attention+proj+residual half-block kernel
+    (ops/fused_block.py) vs the plain XLA chain."""
+
+    def _setup(self, B=2, L=70, H=32, nh=4, dtype=jnp.float32):
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(B, L, H), dtype)
+        lns = jnp.asarray(rs.randn(H), jnp.float32)
+        lnb = jnp.asarray(rs.randn(H) * 0.1, jnp.float32)
+        wqkv = jnp.asarray(rs.randn(H, 3 * H) * 0.05, jnp.float32)
+        bqkv = jnp.asarray(rs.randn(3 * H) * 0.1, jnp.float32)
+        wproj = jnp.asarray(rs.randn(H, H) * 0.05, jnp.float32)
+        bproj = jnp.asarray(rs.randn(H) * 0.1, jnp.float32)
+        return x, lns, lnb, wqkv, bqkv, wproj, bproj, nh
+
+    def test_parity_interpret(self):
+        from vitcap_tpu.ops.fused_block import (_xla_reference,
+                                                fused_vit_attn)
+        *args, nh = self._setup()
+        ref = _xla_reference(*args, num_heads=nh, eps=1e-6)
+        out = fused_vit_attn(*args, nh, 1e-6, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_parity_padded_seq(self):
+        """L=70 pads to 128 — padded keys must not leak into softmax."""
+        from vitcap_tpu.ops.fused_block import (_xla_reference,
+                                                fused_vit_attn)
+        *args, nh = self._setup(L=130)   # pads to 256
+        ref = _xla_reference(*args, num_heads=nh, eps=1e-6)
+        out = fused_vit_attn(*args, nh, 1e-6, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_grad_matches_xla(self):
+        from vitcap_tpu.ops.fused_block import (_xla_reference,
+                                                fused_vit_attn)
+        *args, nh = self._setup()
+
+        def loss_fused(x, w):
+            a = list(args)
+            a[0], a[3] = x, w
+            return jnp.sum(fused_vit_attn(*a, nh, 1e-6, True) ** 2)
+
+        def loss_ref(x, w):
+            a = list(args)
+            a[0], a[3] = x, w
+            return jnp.sum(_xla_reference(*a, num_heads=nh, eps=1e-6) ** 2)
+
+        gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(args[0], args[3])
+        gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(args[0], args[3])
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_param_tree_adapter(self):
+        from vitcap_tpu.models import vitcap as M
+        from vitcap_tpu.models.config import tiny_config
+        from vitcap_tpu.models.layers import layer_norm, vit_attention
+        from vitcap_tpu.ops.fused_block import vit_attention_residual
+        cfg = tiny_config()
+        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        blk = params["encoder"]["blocks"][0]
+        rs = np.random.RandomState(1)
+        x = jnp.asarray(rs.randn(2, 17, cfg.hidden_size), jnp.float32)
+        ref = x + vit_attention(
+            blk["attn"], layer_norm(blk["norm1"], x, cfg.vit_layer_norm_eps),
+            cfg.num_attention_heads)
+        out = vit_attention_residual(blk, x, cfg.num_attention_heads,
+                                     cfg.vit_layer_norm_eps, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)

@@ -179,3 +179,75 @@ def test_vit_forward_return_attn():
     # base forward unchanged
     feats2 = R.vit_forward(m.params, imgs, m.spec)
     np.testing.assert_array_equal(np.asarray(feats), np.asarray(feats2))
+
+
+def test_vit_forward_token_drop():
+    """token_drop hook: CLS kept, static kept-count, differs across keys."""
+    m = R.create_model("vit_tiny_patch16_224", img_size=64, num_classes=0)
+    imgs = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3),
+                       jnp.float32)
+    out = R.vit_forward(m.params, imgs, m.spec, token_drop=0.5,
+                        rng=jax.random.PRNGKey(1))
+    # 16 patches -> keep 8 (+CLS)
+    assert out.shape == (2, 9, m.spec.hidden_size)
+    out2 = R.vit_forward(m.params, imgs, m.spec, token_drop=0.5,
+                         rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+    # drop=0 is the plain forward
+    full = R.vit_forward(m.params, imgs, m.spec)
+    assert full.shape == (2, 17, m.spec.hidden_size)
+
+
+def test_prune_dense_and_heads():
+    """prune_dense matches torch prune_linear_layer semantics; pruning
+    heads preserves remaining heads' attention output."""
+    from vitcap_tpu.models.layers import (mha, prune_attention_heads,
+                                          prune_dense)
+    rs = np.random.RandomState(0)
+    p = {"kernel": jnp.asarray(rs.randn(8, 12), jnp.float32),
+         "bias": jnp.asarray(rs.randn(12), jnp.float32)}
+    keep = [0, 3, 7]
+    o0 = prune_dense(p, keep, dim=0)
+    assert o0["kernel"].shape == (8, 3) and o0["bias"].shape == (3,)
+    np.testing.assert_array_equal(np.asarray(o0["kernel"]),
+                                  np.asarray(p["kernel"][:, keep]))
+    o1 = prune_dense(p, [1, 2], dim=1)
+    assert o1["kernel"].shape == (2, 12) and o1["bias"].shape == (12,)
+
+    # head pruning: 4 heads of dim 2, drop head 1
+    H, nh, hd = 8, 4, 2
+    attn = {n: {"kernel": jnp.asarray(rs.randn(H, H), jnp.float32),
+                "bias": jnp.asarray(rs.randn(H), jnp.float32)}
+            for n in ("query", "key", "value")}
+    pruned = prune_attention_heads(attn, heads=[1], num_heads=nh,
+                                   head_dim=hd)
+    assert pruned["query"]["kernel"].shape == (H, 6)
+    x = jnp.asarray(rs.randn(1, 5, H), jnp.float32)
+    from vitcap_tpu.models.layers import dense
+    full = mha(dense(attn["query"], x), dense(attn["key"], x),
+               dense(attn["value"], x), nh)
+    sub = mha(dense(pruned["query"], x), dense(pruned["key"], x),
+              dense(pruned["value"], x), nh - 1)
+    keep_heads = [0, 2, 3]
+    fh = np.asarray(full).reshape(1, 5, nh, hd)[:, :, keep_heads]
+    np.testing.assert_allclose(np.asarray(sub).reshape(1, 5, 3, hd), fh,
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_model_config_json_roundtrip(tmp_path):
+    """ModelConfig.save_pretrained/from_pretrained (reference
+    PretrainedConfig json semantics, unknown keys tolerated)."""
+    from vitcap_tpu.models.config import ModelConfig
+    cfg = ModelConfig(hidden_size=64, num_attention_heads=4,
+                      intermediate_size=128, topk=7)
+    d = tmp_path / "cfgdir"
+    cfg.save_pretrained(str(d))
+    back = ModelConfig.from_pretrained(str(d))
+    assert back == cfg
+    # unknown keys ignored; overrides win
+    import json
+    raw = json.loads((d / "config.json").read_text())
+    raw["mystery_key"] = 42
+    (d / "config.json").write_text(json.dumps(raw))
+    back2 = ModelConfig.from_pretrained(str(d), topk=9)
+    assert back2.topk == 9 and back2.hidden_size == 64

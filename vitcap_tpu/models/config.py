@@ -140,6 +140,41 @@ class ModelConfig:
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)
 
+    # -- json round-trip (reference PretrainedConfig.save_pretrained /
+    #    from_pretrained, modeling_utils.py:67-220: a `config.json` in a
+    #    directory; unknown keys are tolerated on load) --
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json_string(self) -> str:
+        import json
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True) + "\n"
+
+    def save_pretrained(self, save_directory: str) -> str:
+        import os
+        os.makedirs(save_directory, exist_ok=True)
+        path = os.path.join(save_directory, "config.json")
+        with open(path, "w") as f:
+            f.write(self.to_json_string())
+        return path
+
+    @classmethod
+    def from_pretrained(cls, path: str, **overrides) -> "ModelConfig":
+        """`path` is a directory containing config.json or the json file
+        itself.  Keys the dataclass doesn't know are ignored (the reference
+        loader is similarly tolerant); `overrides` win over the file."""
+        import json
+        import os
+        if os.path.isdir(path):
+            path = os.path.join(path, "config.json")
+        with open(path) as f:
+            raw = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in raw.items() if k in known}
+        kw.update(overrides)
+        return cls(**kw)
+
 
 def tiny_config(**kw) -> ModelConfig:
     """Small config for tests."""

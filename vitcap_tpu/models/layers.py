@@ -59,6 +59,41 @@ def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array],
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
+def prune_dense(p: Params, index, dim: int) -> Params:
+    """Keep only the `index` entries of a dense layer along `dim` — the
+    functional equivalent of the reference `prune_linear_layer`
+    (modeling_utils.py:1183-1196).  kernel is stored (in, out): dim=0 prunes
+    OUTPUT features (bias pruned too, torch's Linear dim=0), dim=1 prunes
+    INPUT features (bias kept)."""
+    index = jnp.asarray(index)
+    out = dict(p)
+    if dim == 0:
+        out["kernel"] = p["kernel"][:, index]
+        if "bias" in p:
+            out["bias"] = p["bias"][index]
+    elif dim == 1:
+        out["kernel"] = p["kernel"][index, :]
+    else:
+        raise ValueError(f"dim must be 0 or 1, got {dim}")
+    return out
+
+
+def prune_attention_heads(attn: Params, heads, num_heads: int,
+                          head_dim: int) -> Params:
+    """Remove whole attention heads from a BertSelfAttention param group
+    {'query','key','value'} (+ sibling output dense handled by the caller
+    via prune_dense(dim=1)).  Mirrors the reference's head-pruning use of
+    prune_linear_layer.  Returns new params; caller must also shrink its
+    num_heads bookkeeping."""
+    heads = set(int(h) for h in heads)
+    keep = [h for h in range(num_heads) if h not in heads]
+    idx = jnp.concatenate([jnp.arange(h * head_dim, (h + 1) * head_dim)
+                           for h in keep])
+    return {name: (prune_dense(attn[name], idx, dim=0)
+                   if name in ("query", "key", "value") else attn[name])
+            for name in attn}
+
+
 # ---------------------------------------------------------------------------
 # multi-head attention core (shared by ViT and BERT paths)
 # ---------------------------------------------------------------------------

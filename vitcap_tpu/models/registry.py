@@ -207,15 +207,32 @@ def init_vision_params(rng: jax.Array, spec: VisionModelSpec) -> Params:
 
 def vit_forward(params: Params, images: jnp.ndarray,
                 spec: VisionModelSpec, head: bool = False,
-                return_attn: bool = False, dtype=jnp.float32):
+                return_attn: bool = False, dtype=jnp.float32,
+                token_drop: float = 0.0,
+                rng: Optional[jax.Array] = None):
     """Patchify -> blocks -> final norm; head=True pools CLS into logits
     (reference VisionTransformer.forward :434-447; `output_grid` mode is
     head=False, which returns all post-norm tokens).
 
     return_attn=True additionally returns the per-block attention
     probabilities stacked as (depth, B, heads, L, L) — the reference fork's
-    `return_attn` visualization hook (vision_transformer.py:174-182)."""
+    `return_attn` visualization hook (vision_transformer.py:174-182).
+
+    token_drop>0 randomly drops that fraction of PATCH tokens after the
+    position embedding (CLS always kept) — the reference fork's `token_drop`
+    training hook.  The kept count is static (ceil), so the jit stays
+    fixed-shape; per-example subsets are drawn from `rng`."""
     x = vision_embed(params, images.astype(dtype), spec.patch_size)
+    if token_drop > 0.0:
+        if rng is None:
+            raise ValueError("token_drop needs an rng key")
+        B, L, _ = x.shape
+        n_keep = max(1, int((L - 1) * (1.0 - token_drop)))
+        noise = jax.random.uniform(rng, (B, L - 1))
+        keep_idx = jnp.argsort(noise, axis=1)[:, :n_keep] + 1  # skip CLS
+        keep_idx = jnp.sort(keep_idx, axis=1)                  # keep order
+        patches = jnp.take_along_axis(x, keep_idx[..., None], axis=1)
+        x = jnp.concatenate([x[:, :1], patches], axis=1)
     attns = []
     for blk in params["blocks"]:
         if return_attn:

@@ -1,0 +1,172 @@
+"""Fused ViT attention half-block Pallas kernel.
+
+One kernel per trunk block computes LN1 -> fused-QKV projection -> 12-head
+self-attention -> output projection -> residual add, entirely in VMEM.
+Replaces (on TPU inference traces) the XLA chain that round-trips q/k/v and
+the attention output through HBM and relayouts (B,L,H)->(B,h,L,dh) three
+times per block:
+
+  XLA path traffic/block  ~ x + qkv(w+r) + heads relayout + o(w+r) + proj
+  fused kernel traffic    ~ x(r) + weights + out(w)          (~4x less)
+
+The attention math itself is the same one-pass softmax as
+ops/flash_attention.py (whole K resident, f32 score accumulation, padded
+tail keys masked), so outputs match the XLA reference to bf16 tolerance.
+
+Reference behavior covered: timm Attention + Block without attention_mask
+(vision_transformer.py:161-250); the masked/bias path (fusion decoder)
+keeps using ops/flash_attention.py.
+
+Backward = custom_vjp recomputing with plain XLA ops (training keeps XLA
+anyway; the kernel auto-engages only inside ops.inference_mode()).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = Dict[str, Any]
+
+NEG = -1e30
+TQ = 128            # q-row tile inside the kernel (keeps the f32 score
+                    # slab at (TQ, Lp) instead of (Lp, Lp))
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+            bproj_ref, o_ref, *, num_heads: int, eps: float, l_actual: int,
+            lp: int):
+    H = x_ref.shape[-1]
+    hd = H // num_heads
+    x = x_ref[0]                                     # (Lp, H) compute dtype
+
+    # LayerNorm in f32 (matches models.layers.layer_norm numerics)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = (xf - mean) * jax.lax.rsqrt(var + eps)
+    ln = (ln * lns_ref[0].astype(jnp.float32)
+          + lnb_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+    qkv = jnp.dot(ln, wqkv_ref[:], preferred_element_type=x.dtype)
+    qkv = qkv + bqkv_ref[0].astype(x.dtype)          # (Lp, 3H)
+
+    scale = hd ** -0.5
+    n_qt = lp // TQ
+    out_tiles = []
+    for qt in range(n_qt):
+        rows = slice(qt * TQ, (qt + 1) * TQ)
+        heads = []
+        for h in range(num_heads):
+            q = qkv[rows, h * hd:(h + 1) * hd]               # (TQ, hd)
+            k = qkv[:, H + h * hd:H + (h + 1) * hd]          # (Lp, hd)
+            v = qkv[:, 2 * H + h * hd:2 * H + (h + 1) * hd]  # (Lp, hd)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (TQ, Lp)
+            if l_actual < lp:
+                kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(kidx < l_actual, s, NEG)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(x.dtype), v,
+                        preferred_element_type=jnp.float32)
+            heads.append((o / jnp.maximum(l, 1e-30)).astype(x.dtype))
+        out_tiles.append(jnp.concatenate(heads, axis=-1))    # (TQ, H)
+    attn = jnp.concatenate(out_tiles, axis=0)                # (Lp, H)
+
+    proj = jnp.dot(attn, wproj_ref[:], preferred_element_type=x.dtype)
+    o_ref[0] = x + proj + bproj_ref[0].astype(x.dtype)
+
+
+def _fused_fwd(x: jnp.ndarray, lns, lnb, wqkv, bqkv, wproj, bproj,
+               num_heads: int, eps: float, interpret: bool) -> jnp.ndarray:
+    B, L, H = x.shape
+    Lp = _round_up(L, TQ)
+    pad = Lp - L
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    dt = x.dtype
+    wqkv = wqkv.astype(dt)
+    wproj = wproj.astype(dt)
+    kern = functools.partial(_kernel, num_heads=num_heads, eps=eps,
+                             l_actual=L, lp=Lp)
+    row = lambda a: a.reshape(1, -1)
+    bspec = lambda n: pl.BlockSpec((1, n), lambda b: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    wspec = lambda s: pl.BlockSpec(s, lambda b: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((1, Lp, H), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, Lp, H), dt),
+        grid=(B,),
+        in_specs=[xspec, bspec(H), bspec(H), wspec((H, 3 * H)),
+                  bspec(3 * H), wspec((H, H)), bspec(H)],
+        out_specs=xspec,
+        interpret=interpret,
+    )(x, row(lns), row(lnb), wqkv, row(bqkv), wproj, row(bproj))
+    return out[:, :L] if pad else out
+
+
+def _xla_reference(x, lns, lnb, wqkv, bqkv, wproj, bproj, num_heads, eps):
+    from ..models.layers import layer_norm, mha
+    ln = layer_norm({"scale": lns, "bias": lnb}, x, eps)
+    qkv = jnp.dot(ln, wqkv.astype(x.dtype),
+                  preferred_element_type=x.dtype) + bqkv.astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    o = mha(q, k, v, num_heads)
+    return x + jnp.dot(o, wproj.astype(x.dtype),
+                       preferred_element_type=x.dtype) + bproj.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_vit_attn(x, lns, lnb, wqkv, bqkv, wproj, bproj,
+                   num_heads: int, eps: float, interpret: bool = False):
+    """x + proj(attention(LN1(x))) — the attention half of a ViT block.
+
+    x: (B, L, H); lns/lnb: (H,); wqkv: (H, 3H); bqkv: (3H,);
+    wproj: (H, H); bproj: (H,).
+    """
+    return _fused_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj,
+                      num_heads, eps, interpret)
+
+
+def _vjp_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj, num_heads, eps,
+             interpret):
+    y = _fused_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj, num_heads, eps,
+                   interpret)
+    return y, (x, lns, lnb, wqkv, bqkv, wproj, bproj)
+
+
+def _vjp_bwd(num_heads, eps, interpret, res, g):
+    x, lns, lnb, wqkv, bqkv, wproj, bproj = res
+    _, vjp = jax.vjp(
+        lambda *a: _xla_reference(*a, num_heads=num_heads, eps=eps),
+        x, lns, lnb, wqkv, bqkv, wproj, bproj)
+    return vjp(g)
+
+
+fused_vit_attn.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def vit_attention_residual(p_block: Params, x: jnp.ndarray, num_heads: int,
+                           ln_eps: float, interpret: bool = False
+                           ) -> jnp.ndarray:
+    """Param-tree adapter: p_block = {'norm1','attn':{'qkv','proj'}}."""
+    return fused_vit_attn(
+        x, p_block["norm1"]["scale"], p_block["norm1"]["bias"],
+        p_block["attn"]["qkv"]["kernel"], p_block["attn"]["qkv"]["bias"],
+        p_block["attn"]["proj"]["kernel"], p_block["attn"]["proj"]["bias"],
+        num_heads, ln_eps, interpret)
