@@ -61,11 +61,22 @@ def main():
                                                    cfg.vit_layer_norm_eps))
         return x
 
+    from vitcap_tpu.ops.fused_block import fused_vit_block
+
+    def run_fullblk(blocks, x):
+        for blk in blocks:
+            x = fused_vit_block(blk, x, cfg.num_attention_heads,
+                                cfg.vit_layer_norm_eps)
+        return x
+
     for name, env, fn in (("xla attn ", "0", run_xla),
                           ("pallas 1p", "1", run_xla),
-                          ("fusedblk ", "0", run_fused)):
+                          ("fusedblk ", "0", run_fused),
+                          ("fullblk  ", "0", run_fullblk)):
         os.environ["VITCAP_PALLAS"] = env
-        jit = jax.jit(fn)
+        # fresh closure: jax's jit trace cache is keyed on the function
+        # object, which would otherwise skip re-reading the env flag
+        jit = jax.jit(lambda blocks, x, _fn=fn: _fn(blocks, x))
         t = timeit(lambda: jit(blocks, x), lambda o: o[:1, :1, :1])
         print(f"  {name}: {t*1e3:7.2f} ms ({t/DEPTH*1e3:5.2f} ms/blk, "
               f"{fl/t/1e12:5.1f} TFLOP/s)")

@@ -162,3 +162,58 @@ class TestFusedVitAttn:
                                      cfg.vit_layer_norm_eps, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
+
+    def test_full_block_parity_and_grad(self):
+        """fused_vit_block (whole block incl. exact-ish gelu MLP) matches
+        the XLA vit_block forward and recompute backward."""
+        from vitcap_tpu.models import vitcap as M
+        from vitcap_tpu.models.config import tiny_config
+        from vitcap_tpu.models.layers import _vit_block_xla
+        from vitcap_tpu.ops.fused_block import fused_vit_block
+        cfg = tiny_config()
+        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        blk = params["encoder"]["blocks"][0]
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 17,
+                                                       cfg.hidden_size),
+                        jnp.float32)
+        nh, eps = cfg.num_attention_heads, cfg.vit_layer_norm_eps
+        ref = _vit_block_xla(blk, x, nh, eps)
+        out = fused_vit_block(blk, x, nh, eps, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        g1 = jax.grad(lambda p: jnp.sum(
+            fused_vit_block(p, x, nh, eps, True) ** 2))(blk)
+        g2 = jax.grad(lambda p: jnp.sum(
+            _vit_block_xla(p, x, nh, eps) ** 2))(blk)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_vit_block_dispatch_interpret(self):
+        """public vit_block under VITCAP_PALLAS=interpret routes to the
+        fused kernel and still matches the XLA body."""
+        import os
+        from vitcap_tpu.models import vitcap as M
+        from vitcap_tpu.models.config import tiny_config
+        from vitcap_tpu.models.layers import _vit_block_xla, vit_block
+        cfg = tiny_config()
+        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        blk = params["encoder"]["blocks"][0]
+        # L >= 64 required for dispatch
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 70,
+                                                       cfg.hidden_size),
+                        jnp.float32)
+        nh, eps = cfg.num_attention_heads, cfg.vit_layer_norm_eps
+        old = os.environ.get("VITCAP_PALLAS")
+        os.environ["VITCAP_PALLAS"] = "interpret"
+        try:
+            out = vit_block(blk, x, nh, eps)
+        finally:
+            if old is None:
+                os.environ.pop("VITCAP_PALLAS")
+            else:
+                os.environ["VITCAP_PALLAS"] = old
+        ref = _vit_block_xla(blk, x, nh, eps)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
