@@ -58,6 +58,18 @@ def main():
         p, images, od_ids, None, seq_len, cfg, opts, ctx=c)["ids"])
     t_scan = timeit(lambda: scan_fn(params, ctx), lambda o: o)
 
+    # fused Pallas decode-step engine (flat cache layout)
+    ctx_flat_fn = jax.jit(lambda p, i, o, s: D.build_decode_context(
+        p, i, o, None, s, cfg, opts, layout="flat"))
+    ctx_flat = ctx_flat_fn(params, images, od_ids, seq_len)
+    scan_fused = jax.jit(lambda p, c: D.generate_greedy(
+        p, images, od_ids, None, seq_len, cfg, opts, ctx=c)["ids"])
+    try:
+        t_fused = timeit(lambda: scan_fused(params, ctx_flat), lambda o: o)
+    except Exception as e:
+        t_fused = None
+        print(f"  fused scan failed: {type(e).__name__}: {e}")
+
     steps = cfg.max_gen_length - 1
     print(f"B={B}")
     print(f"  vision+tags+prefill (ctx): {t_ctx*1e3:8.2f} ms")
@@ -65,6 +77,9 @@ def main():
           f"({B/t_full:.1f} caps/s)")
     print(f"  scan only (ctx given):     {t_scan*1e3:8.2f} ms "
           f"({t_scan/steps*1e3:.3f} ms/step)")
+    if t_fused is not None:
+        print(f"  fused-step scan:           {t_fused*1e3:8.2f} ms "
+              f"({t_fused/steps*1e3:.3f} ms/step)")
 
     # analytic per-step HBM floor (v5e ~819 GB/s); ctx caches are
     # (B, nH, S, hd) head layout

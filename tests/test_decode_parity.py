@@ -122,3 +122,63 @@ def test_beam_parity(ref_and_params):
     my_ids, my_lp = _my_generate(params, image, od_ids, seq_len, num_beams=3)
     np.testing.assert_array_equal(my_ids, ref_ids)
     np.testing.assert_allclose(my_lp, ref_lp, rtol=1e-3, atol=1e-4)
+
+
+class TestFusedDecodeEngine:
+    """Fused Pallas decode-step kernel (ops/decode_step.py) vs the XLA scan
+    engine, interpret mode on CPU: ids must match exactly."""
+
+    def _inputs(self):
+        from vitcap_tpu.models import vitcap as M
+        from vitcap_tpu.models.config import tiny_config
+        cfg = tiny_config()
+        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        rs = np.random.RandomState(0)
+        B = 2
+        img = jnp.asarray(rs.randn(B, cfg.img_size, cfg.img_size, 3),
+                          jnp.float32)
+        OD = cfg.max_seq_len - cfg.max_seq_a_len
+        od = jnp.asarray(rs.randint(1, cfg.vocab_size, (B, OD)), jnp.int32)
+        sl = jnp.full((B,), cfg.max_seq_a_len + 2, jnp.int32)
+        return cfg, params, img, od, sl
+
+    def _run(self, opts, backend):
+        import os
+        from vitcap_tpu.models import decode as D
+        cfg, params, img, od, sl = self._inputs()
+        old = os.environ.get("VITCAP_DECODE_FUSED")
+        os.environ["VITCAP_DECODE_FUSED"] = backend
+        try:
+            return D.generate(params, img, od, None, sl, cfg, opts)
+        finally:
+            if old is None:
+                os.environ.pop("VITCAP_DECODE_FUSED")
+            else:
+                os.environ["VITCAP_DECODE_FUSED"] = old
+
+    def test_greedy_ids_match(self):
+        from vitcap_tpu.models import decode as D
+        cfg = self._inputs()[0]
+        opts = D.DecodeOptions(max_length=cfg.max_seq_a_len,
+                               od_labels_start_posid=cfg.max_seq_a_len)
+        ref = self._run(opts, "0")
+        out = self._run(opts, "interpret")
+        np.testing.assert_array_equal(np.asarray(ref["ids"]),
+                                      np.asarray(out["ids"]))
+        np.testing.assert_allclose(np.asarray(ref["logprobs"]),
+                                   np.asarray(out["logprobs"]),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_beam_ids_match(self):
+        from vitcap_tpu.models import decode as D
+        cfg = self._inputs()[0]
+        opts = D.DecodeOptions(max_length=cfg.max_seq_a_len, num_beams=3,
+                               num_keep_best=2,
+                               od_labels_start_posid=cfg.max_seq_a_len)
+        ref = self._run(opts, "0")
+        out = self._run(opts, "interpret")
+        np.testing.assert_array_equal(np.asarray(ref["ids"]),
+                                      np.asarray(out["ids"]))
+        np.testing.assert_allclose(np.asarray(ref["logprobs"]),
+                                   np.asarray(out["logprobs"]),
+                                   rtol=1e-4, atol=1e-5)

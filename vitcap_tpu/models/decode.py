@@ -151,10 +151,14 @@ def build_decode_context(params: Params, images: jnp.ndarray,
                          od_token_type_ids: Optional[jnp.ndarray],
                          seq_len: jnp.ndarray, cfg: ModelConfig,
                          opts: DecodeOptions,
-                         visual_token_idx: Optional[jnp.ndarray] = None
-                         ) -> Dict[str, Any]:
+                         visual_token_idx: Optional[jnp.ndarray] = None,
+                         layout: str = "heads") -> Dict[str, Any]:
     """build_context_embeddings + decoder-layer K/V prefill over the static
-    context (valid because context tokens never attend caption tokens)."""
+    context (valid because context tokens never attend caption tokens).
+
+    layout='heads': per-layer (B, nH, S, hd) lists for the XLA scan body.
+    layout='flat': packed (nL, B, Sp, H) arrays + additive context bias for
+    the fused Pallas decode-step kernel (ops/decode_step.py)."""
     ce = build_context_embeddings(params, images, od_ids, od_token_type_ids,
                                   seq_len, cfg, opts, visual_token_idx)
     ctx, ctx_valid, od_len = ce["ctx"], ce["ctx_valid"], ce["od_len"]
@@ -182,17 +186,39 @@ def build_decode_context(params: Params, images: jnp.ndarray,
     with inference_mode():
         for layer in params["decoder"]["layer"]:
             ps = layer["attention"]["self"]
-            # store in head layout so decode steps read the caches directly
-            # (no per-step transpose inside the scan)
-            ctx_k.append(to_heads(dense(ps["key"], x)))
-            ctx_v.append(to_heads(dense(ps["value"], x)))
+            k = dense(ps["key"], x)
+            v = dense(ps["value"], x)
+            if layout == "heads":
+                # head layout so the XLA scan body reads the caches
+                # directly (no per-step transpose inside the scan)
+                k, v = to_heads(k), to_heads(v)
+            ctx_k.append(k)
+            ctx_v.append(v)
             x = _bert_layer_full(layer, x, bias, cfg)
-    return {
-        "ctx_k": ctx_k, "ctx_v": ctx_v,    # per decoder layer (B,nH,S_ctx,hd)
+    # the ctx dict must stay jit-returnable (arrays only): flat layout is
+    # signalled by the presence of 'ctx_bias', not a string field
+    out = {
         "ctx_valid": ctx_valid,            # (B, S_ctx)
         "tag_logits": ce["tag_logits"],
         "pred_topk": ce["pred_topk"],
     }
+    if layout == "flat":
+        from ..ops.decode_step import pack_decode_context
+        kp, vp, cbias = pack_decode_context(ctx_k, ctx_v, ctx_valid)
+        out.update(ctx_k=kp, ctx_v=vp, ctx_bias=cbias)
+    else:
+        out.update(ctx_k=ctx_k, ctx_v=ctx_v)
+    return out
+
+
+def _ctx_layout(ctx: Dict[str, Any]) -> str:
+    return "flat" if "ctx_bias" in ctx else "heads"
+
+
+def _ctx_batch(ctx: Dict[str, Any]) -> int:
+    if _ctx_layout(ctx) == "flat":
+        return ctx["ctx_k"].shape[1]
+    return ctx["ctx_k"][0].shape[0]
 
 
 def _bert_layer_full(layer: Params, x: jnp.ndarray, bias: jnp.ndarray,
@@ -356,6 +382,72 @@ def _init_caps(B: int, n_layers: int, A: int, H: int, dtype,
                for _ in range(n_layers)]
 
 
+def _use_fused_decode() -> bool:
+    """Opt-in routing of the decode scan through the one-kernel-per-step
+    Pallas engine (ops/decode_step.py): VITCAP_DECODE_FUSED=1 (TPU) or
+    =interpret (CPU tests).  Not the default: at B=32 the XLA scan body
+    measures 0.83 ms/step vs the kernel's 1.07 — Mosaic's generic matmul
+    lowering cannot pipeline the 2-row window dots the way XLA's batched
+    emitter does.  Kept as an experimental backend (exact-parity tested);
+    worth revisiting if Mosaic grows a batched small-matmul path."""
+    import os
+    return os.environ.get("VITCAP_DECODE_FUSED", "0").lower() in (
+        "1", "interpret")
+
+
+def _decode_engine(params: Params, ctx: Dict[str, Any], cfg: ModelConfig,
+                   opts: DecodeOptions, Bb: int):
+    """(init, step, reorder) closures over either cache format.
+
+    step(caches, prev, t) -> (logits f32 (Bb,V), caches); reorder gathers
+    per-beam caption caches by flat row index."""
+    A = opts.max_length
+    H = cfg.hidden_size
+    nL = cfg.decoder_layers
+
+    if _ctx_layout(ctx) == "flat":
+        import os
+        interpret = os.environ.get("VITCAP_DECODE_FUSED", "") == "interpret"
+        from ..ops.decode_step import fused_decode_step, pack_decode_layers
+        packed = pack_decode_layers(params, cfg.compute_dtype)
+
+        def init():
+            z = jnp.zeros((nL, Bb, A, H), cfg.compute_dtype)
+            return (z, jnp.zeros_like(z))
+
+        def step(caches, prev, t):
+            cap_k, cap_v = caches
+            x = _window_embeddings(params, prev, t, cfg)
+            x, cap_k, cap_v = fused_decode_step(
+                packed, ctx["ctx_k"], ctx["ctx_v"], ctx["ctx_bias"],
+                cap_k, cap_v, x, t, num_heads=cfg.num_attention_heads,
+                eps=cfg.bert_layer_norm_eps, interpret=interpret)
+            logits = M.caption_logits(params, x[:, 1], cfg)
+            return logits.astype(jnp.float32), (cap_k, cap_v)
+
+        def reorder(caches, flat_idx):
+            cap_k, cap_v = caches
+            return cap_k[:, flat_idx], cap_v[:, flat_idx]
+
+        return init, step, reorder
+
+    def init():
+        return _init_caps(Bb, nL, A, H, cfg.compute_dtype,
+                          cfg.num_attention_heads)
+
+    def step(caches, prev, t):
+        cap_k, cap_v = caches
+        logits, cap_k, cap_v = decode_step(params, cap_k, cap_v, ctx, prev,
+                                           t, cfg)
+        return logits, (cap_k, cap_v)
+
+    def reorder(caches, flat_idx):
+        cap_k, cap_v = caches
+        return ([k[flat_idx] for k in cap_k], [v[flat_idx] for v in cap_v])
+
+    return init, step, reorder
+
+
 # ---------------------------------------------------------------------------
 # sampling filter (reference modeling_utils.py:1103-1136)
 # ---------------------------------------------------------------------------
@@ -399,29 +491,27 @@ def generate_greedy(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
     A = opts.max_length
     nrs = opts.num_return_sequences
     if ctx is None:
+        layout = "flat" if _use_fused_decode() else "heads"
         ctx = build_decode_context(params, images, od_ids, od_token_type_ids,
-                                   seq_len, cfg, opts)
+                                   seq_len, cfg, opts, layout=layout)
     params = _decode_params_cast(params, cfg)   # once, outside the scan
-    B = ctx["ctx_k"][0].shape[0]
+    B = _ctx_batch(ctx)
     Bb = B * nrs
-    H = cfg.hidden_size
-    nL = cfg.decoder_layers
-    cap_k, cap_v = _init_caps(Bb, nL, A, H, cfg.compute_dtype,
-                              cfg.num_attention_heads)
+    init_caches, engine_step, _ = _decode_engine(params, ctx, cfg, opts, Bb)
+    caches = init_caches()
 
     tokens = jnp.full((Bb, A), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.cls_token_id)
     unfinished = jnp.ones((Bb,), jnp.float32)
     carry = (tokens, unfinished, jnp.zeros((Bb,)), jnp.zeros((Bb,)),
-             cap_k, cap_v,
+             caches,
              rng if rng is not None else jax.random.PRNGKey(0))
 
     def step(carry, t):
-        tokens, unfin, sum_lp, cnt, cap_k, cap_v, r = carry
+        tokens, unfin, sum_lp, cnt, caches, r = carry
         prev = jnp.take_along_axis(tokens, (t - 1)[None, None].repeat(Bb, 0),
                                    axis=1)[:, 0]
-        logits, cap_k, cap_v = decode_step(params, cap_k, cap_v, ctx, prev,
-                                           t, cfg)
+        logits, caches = engine_step(caches, prev, t)
         if opts.do_sample:
             r, rs = jax.random.split(r)
             lg = logits / opts.temperature if opts.temperature != 1.0 \
@@ -439,7 +529,7 @@ def generate_greedy(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
         sum_lp = sum_lp + score * unfin
         cnt = cnt + unfin
         unfin = unfin * (add != cfg.sep_token_id).astype(jnp.float32)
-        return (tokens, unfin, sum_lp, cnt, cap_k, cap_v, r), (score, nxt)
+        return (tokens, unfin, sum_lp, cnt, caches, r), (score, nxt)
 
     (tokens, unfin, sum_lp, cnt, *_), (step_scores, raw_tokens) = \
         jax.lax.scan(step, carry, jnp.arange(1, A))
@@ -478,14 +568,15 @@ def generate_beam(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
     nb = opts.num_beams
     K = opts.num_keep_best
     lp_pow = opts.length_penalty
+    layout = "flat" if _use_fused_decode() else "heads"
     ctx = build_decode_context(params, images, od_ids, od_token_type_ids,
-                               seq_len, cfg, opts)
+                               seq_len, cfg, opts, layout=layout)
     params = _decode_params_cast(params, cfg)   # once, outside the scan
-    B = ctx["ctx_k"][0].shape[0]
+    B = _ctx_batch(ctx)
     Bb = B * nb
-    H = cfg.hidden_size
-    cap_k, cap_v = _init_caps(Bb, cfg.decoder_layers, A, H,
-                              cfg.compute_dtype, cfg.num_attention_heads)
+    init_caches, engine_step, reorder_caches = _decode_engine(
+        params, ctx, cfg, opts, Bb)
+    caches = init_caches()
 
     tokens = jnp.full((B, nb, A), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, :, 0].set(cfg.cls_token_id)
@@ -523,14 +614,13 @@ def generate_beam(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
         return hs, ht, hl, hn
 
     carry = (tokens, beam_scores, hyp_scores, hyp_tokens, hyp_len, hyp_n,
-             done, cap_k, cap_v)
+             done, caches)
 
     def step(carry, t):
-        (tokens, beam_scores, hs, ht, hl, hn, done, cap_k, cap_v) = carry
+        (tokens, beam_scores, hs, ht, hl, hn, done, caches) = carry
         prev = jax.lax.dynamic_index_in_dim(
             tokens, t - 1, axis=2, keepdims=False).reshape(Bb)
-        logits, cap_k, cap_v = decode_step(params, cap_k, cap_v, ctx, prev,
-                                           t, cfg)
+        logits, caches = engine_step(caches, prev, t)
         logp = jax.nn.log_softmax(logits, axis=-1)       # (Bb, V)
         V = logp.shape[-1]
         total = logp.reshape(B, nb, V) + beam_scores[..., None]
@@ -589,12 +679,11 @@ def generate_beam(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
 
         # reorder caption caches by beam (small: (Bb, A, H))
         flat_idx = (jnp.arange(B)[:, None] * nb + new_beam).reshape(Bb)
-        cap_k = [k[flat_idx] for k in cap_k]
-        cap_v = [v[flat_idx] for v in cap_v]
-        return (tokens, beam_scores, hs, ht, hl, hn, done, cap_k, cap_v), None
+        caches = reorder_caches(caches, flat_idx)
+        return (tokens, beam_scores, hs, ht, hl, hn, done, caches), None
 
     carry, _ = jax.lax.scan(step, carry, jnp.arange(1, A))
-    (_, _, hs, ht, hl, hn, _, _, _) = carry
+    (_, _, hs, ht, hl, hn, _, _) = carry
 
     # final selection: top-K hyps by normalized score; append EOS
     order = jnp.argsort(-hs, axis=-1)[:, :K]
