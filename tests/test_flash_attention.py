@@ -217,3 +217,32 @@ class TestFusedVitAttn:
         ref = _vit_block_xla(blk, x, nh, eps)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
+
+    def test_fused_bert_block_parity_and_grad(self):
+        """fused_bert_block (post-norm BERT layer + bias) matches the XLA
+        bert_layer forward and recompute backward."""
+        from vitcap_tpu.models import vitcap as M
+        from vitcap_tpu.models.config import tiny_config
+        from vitcap_tpu.models.layers import _bert_layer_xla
+        from vitcap_tpu.ops.fused_block import fused_bert_block
+        cfg = tiny_config()
+        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        layer = params["decoder"]["layer"][0]
+        rs = np.random.RandomState(0)
+        B, L, H = 2, 70, cfg.hidden_size
+        x = jnp.asarray(rs.randn(B, L, H), jnp.float32)
+        bias = jnp.where(jnp.asarray(rs.rand(B, 1, L, L) > 0.3), 0.0,
+                         -10000.0).astype(jnp.float32)
+        nh, eps = cfg.num_attention_heads, cfg.bert_layer_norm_eps
+        ref = _bert_layer_xla(layer, x, bias, nh, eps)
+        out = fused_bert_block(layer, x, bias, nh, eps, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        g1 = jax.grad(lambda p: jnp.sum(
+            fused_bert_block(p, x, bias, nh, eps, True) ** 2))(layer)
+        g2 = jax.grad(lambda p: jnp.sum(
+            _bert_layer_xla(p, x, bias, nh, eps) ** 2))(layer)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-3)

@@ -369,7 +369,32 @@ def bert_layer(p: Params, x: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
                rng: Optional[jax.Array] = None,
                deterministic: bool = True,
                scores_dtype=None) -> jnp.ndarray:
-    """Post-norm BERT layer (reference modeling_bert.py:422-437)."""
+    """Post-norm BERT layer (reference modeling_bert.py:422-437).
+
+    On TPU inference traces the plain self-attention path (no kv_input, no
+    dropout) routes to the fused Pallas kernel (ops/fused_block.py
+    fused_bert_block) — the decode-prefill hot block."""
+    if (kv_input is None and bias is not None and x.shape[1] >= 64
+            and (deterministic or rng is None
+                 or (hidden_dropout == 0.0 and attn_dropout == 0.0))):
+        from ..ops import attention_backend
+        backend = attention_backend()
+        if backend != "xla":
+            from ..ops.fused_block import fused_bert_block
+            return fused_bert_block(p, x, bias, num_heads, ln_eps,
+                                    backend == "pallas_interpret")
+    return _bert_layer_xla(p, x, bias, num_heads, ln_eps, kv_input,
+                           hidden_dropout, attn_dropout, rng, deterministic,
+                           scores_dtype)
+
+
+def _bert_layer_xla(p: Params, x: jnp.ndarray, bias: jnp.ndarray,
+                    num_heads: int, ln_eps: float,
+                    kv_input: Optional[jnp.ndarray] = None,
+                    hidden_dropout: float = 0.0, attn_dropout: float = 0.0,
+                    rng: Optional[jax.Array] = None,
+                    deterministic: bool = True,
+                    scores_dtype=None) -> jnp.ndarray:
     if rng is not None:
         r1, r2, r3 = jax.random.split(rng, 3)
     else:

@@ -261,6 +261,149 @@ def vit_attention_residual(p_block: Params, x: jnp.ndarray, num_heads: int,
         num_heads, ln_eps, interpret)
 
 
+def _bert_kernel(x_ref, bias_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                 ln1s_ref, ln1b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+                 ln2s_ref, ln2b_ref, o_ref, *, num_heads: int, eps: float,
+                 l_actual: int, lp: int):
+    """Post-norm BERT layer (reference modeling_bert.py:422-437) with an
+    additive attention bias, one grid cell per batch row.  Same one-pass
+    attention structure as _kernel but: no pre-LN (qkv projects raw x),
+    residual LNs AFTER each sublayer, bias tile added to the scores."""
+    H = x_ref.shape[-1]
+    hd = H // num_heads
+    x = x_ref[0]                                     # (Lp, H)
+    dt = x.dtype
+
+    qkv = jnp.dot(x, wqkv_ref[:],
+                  preferred_element_type=jnp.float32).astype(dt)
+    qkv = qkv + bqkv_ref[0].astype(dt)               # (Lp, 3H)
+
+    scale = hd ** -0.5
+    n_qt = lp // TQ
+    out_tiles = []
+    for qt in range(n_qt):
+        rows = slice(qt * TQ, (qt + 1) * TQ)
+        heads = []
+        for h in range(num_heads):
+            q = qkv[rows, h * hd:(h + 1) * hd]
+            k = qkv[:, H + h * hd:H + (h + 1) * hd]
+            v = qkv[:, 2 * H + h * hd:2 * H + (h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = s + bias_ref[0, 0, rows].astype(jnp.float32)
+            if l_actual < lp:
+                kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(kidx < l_actual, s, NEG)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(dt), v, preferred_element_type=jnp.float32)
+            heads.append((o / jnp.maximum(l, 1e-30)).astype(dt))
+        out_tiles.append(jnp.concatenate(heads, axis=-1))
+    attn = jnp.concatenate(out_tiles, axis=0)        # (Lp, H)
+
+    def post_ln(y_f32, res, s_ref, b_ref):
+        yf = y_f32 + res.astype(jnp.float32)
+        mean = jnp.mean(yf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+        out = (yf - mean) * jax.lax.rsqrt(var + eps)
+        return (out * s_ref[0].astype(jnp.float32)
+                + b_ref[0].astype(jnp.float32)).astype(dt)
+
+    attn = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+    attn = attn + bo_ref[0].astype(jnp.float32)
+    y = post_ln(attn, x, ln1s_ref, ln1b_ref)
+    h1 = jnp.dot(y, wfc1_ref[:], preferred_element_type=jnp.float32)
+    h1 = _gelu_exact((h1 + bfc1_ref[0].astype(jnp.float32)).astype(dt))
+    z = jnp.dot(h1, wfc2_ref[:], preferred_element_type=jnp.float32)
+    z = z + bfc2_ref[0].astype(jnp.float32)
+    o_ref[0] = post_ln(z, y, ln2s_ref, ln2b_ref)
+
+
+def _fused_bert_fwd(p: Params, x: jnp.ndarray, bias: jnp.ndarray,
+                    num_heads: int, eps: float, interpret: bool
+                    ) -> jnp.ndarray:
+    """p: BERT layer param tree {'attention':{'self':{query,key,value},
+    'output':{dense,LayerNorm}}, 'intermediate':{dense},
+    'output':{dense,LayerNorm}}; bias (B,1,L,L) additive."""
+    B, L, H = x.shape
+    Lp = _round_up(L, TQ)
+    pad = Lp - L
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad), (0, pad)))
+    dt = x.dtype
+    ps = p["attention"]["self"]
+    wqkv = jnp.concatenate([ps["query"]["kernel"], ps["key"]["kernel"],
+                            ps["value"]["kernel"]], axis=1).astype(dt)
+    bqkv = jnp.concatenate([ps["query"]["bias"], ps["key"]["bias"],
+                            ps["value"]["bias"]])
+    po = p["attention"]["output"]
+    kern = functools.partial(_bert_kernel, num_heads=num_heads, eps=eps,
+                             l_actual=L, lp=Lp)
+    row = lambda a: a.reshape(1, -1)
+    bspec = lambda n: pl.BlockSpec((1, n), lambda b: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    wspec = lambda s: pl.BlockSpec(s, lambda b: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((1, Lp, H), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, 1, Lp, Lp), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    I = p["intermediate"]["dense"]["kernel"].shape[1]
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, Lp, H), dt),
+        grid=(B,),
+        in_specs=[xspec, mspec, wspec((H, 3 * H)), bspec(3 * H),
+                  wspec((H, H)), bspec(H), bspec(H), bspec(H),
+                  wspec((H, I)), bspec(I), wspec((I, H)), bspec(H),
+                  bspec(H), bspec(H)],
+        out_specs=xspec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, bias.astype(jnp.float32),
+      wqkv, row(bqkv), po["dense"]["kernel"].astype(dt),
+      row(po["dense"]["bias"]), row(po["LayerNorm"]["scale"]),
+      row(po["LayerNorm"]["bias"]),
+      p["intermediate"]["dense"]["kernel"].astype(dt),
+      row(p["intermediate"]["dense"]["bias"]),
+      p["output"]["dense"]["kernel"].astype(dt),
+      row(p["output"]["dense"]["bias"]),
+      row(p["output"]["LayerNorm"]["scale"]),
+      row(p["output"]["LayerNorm"]["bias"]))
+    return out[:, :L] if pad else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_bert_block(p: Params, x: jnp.ndarray, bias: jnp.ndarray,
+                     num_heads: int, eps: float, interpret: bool = False
+                     ) -> jnp.ndarray:
+    """One whole post-norm BERT layer with additive attention bias as a
+    single Pallas kernel — the decode-prefill / score-forward hot block.
+    Same outputs as models.layers.bert_layer (deterministic path)."""
+    return _fused_bert_fwd(p, x, bias, num_heads, eps, interpret)
+
+
+def _bert_vjp_fwd(p, x, bias, num_heads, eps, interpret):
+    return _fused_bert_fwd(p, x, bias, num_heads, eps, interpret), \
+        (p, x, bias)
+
+
+def _bert_vjp_bwd(num_heads, eps, interpret, res, g):
+    from ..models.layers import _bert_layer_xla
+    p, x, bias = res
+    _, vjp = jax.vjp(
+        lambda p, x, bias: _bert_layer_xla(p, x, bias, num_heads, eps),
+        p, x, bias)
+    return vjp(g)
+
+
+fused_bert_block.defvjp(_bert_vjp_fwd, _bert_vjp_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def fused_vit_block(p_block: Params, x: jnp.ndarray, num_heads: int,
                     ln_eps: float, interpret: bool = False) -> jnp.ndarray:
