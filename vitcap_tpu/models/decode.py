@@ -182,12 +182,23 @@ def build_decode_context(params: Params, images: jnp.ndarray,
     ctx_k: List[jnp.ndarray] = []
     ctx_v: List[jnp.ndarray] = []
     x = ctx
-    from ..ops import inference_mode
+    from ..ops import attention_backend, inference_mode
     with inference_mode():
+        # pad the token axis to a 128-multiple ONCE around the 4-layer
+        # prefill when the fused kernel runs: per-layer pad/unpad of x AND
+        # the (B,1,S,S) f32 bias costs ~0.2 ms each.  Padded KEY columns
+        # get the reference's -10000 mask; padded query rows are garbage
+        # and never read (caches slice back to S).
+        pad = (-S_ctx) % 128 if attention_backend() != "xla" else 0
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (0, pad)),
+                           constant_values=NEG_MASK_VALUE)
         for layer in params["decoder"]["layer"]:
             ps = layer["attention"]["self"]
-            k = dense(ps["key"], x)
-            v = dense(ps["value"], x)
+            k = dense(ps["key"], x)[:, :S_ctx]
+            v = dense(ps["value"], x)[:, :S_ctx]
             if layout == "heads":
                 # head layout so the XLA scan body reads the caches
                 # directly (no per-step transpose inside the scan)

@@ -185,20 +185,26 @@ def _vit_block_xla(p: Params, x: jnp.ndarray, num_heads: int, ln_eps: float,
 
 def vit_block(p: Params, x: jnp.ndarray, num_heads: int, ln_eps: float,
               bias: Optional[jnp.ndarray] = None,
-              scores_dtype=None) -> jnp.ndarray:
+              scores_dtype=None, l_actual: int = 0) -> jnp.ndarray:
     """One pre-norm ViT block.  On TPU inference traces the bias-free path
     routes to the single fused Pallas block kernel (ops/fused_block:
     LN1+QKV+attn+proj+LN2+MLP, one HBM round-trip per block — measured
     3.07 vs 4.50 ms/block XLA / 3.95 one-pass-attention-only at the trunk
     shape B=32 L=577 bf16); elsewhere the plain XLA chain runs (training
-    backward, biased decoder blocks, CPU tests)."""
+    backward, biased decoder blocks, CPU tests).
+
+    l_actual > 0: x is pre-padded to a 128-multiple with that many valid
+    rows (the caller hoisted padding out of its block loop; only
+    meaningful on the fused path — the XLA path treats padded rows as
+    real, so callers must only pre-pad when the fused path is active)."""
     if bias is None and x.shape[1] >= 64:
         from ..ops import attention_backend
         backend = attention_backend()
         if backend != "xla":
             from ..ops.fused_block import fused_vit_block
             return fused_vit_block(p, x, num_heads, ln_eps,
-                                   backend == "pallas_interpret")
+                                   backend == "pallas_interpret", l_actual)
+    assert not l_actual, "pre-padded input requires the fused backend"
     return _vit_block_xla(p, x, num_heads, ln_eps, bias, scores_dtype)
 
 

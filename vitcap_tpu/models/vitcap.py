@@ -208,32 +208,56 @@ def split_encoder(params: Params, visual_in: jnp.ndarray, cfg: ModelConfig
     CLS row, the only part of that branch any consumer reads."""
     sd = cfg.attention_scores_dtype
 
-    def blk_fn(blk, x):
+    # pad the token axis to a 128-multiple ONCE when the fused block kernel
+    # will run (it needs aligned rows; per-block pad+unpad costs ~0.15 ms
+    # each at the trunk shape).  Padded rows are masked as attention keys
+    # inside the kernel and sliced off at the end.
+    from ..ops import attention_backend
+    fused = attention_backend() != "xla"
+    L_true = visual_in.shape[1]
+    pad = (-L_true) % 128 if fused else 0
+    l_actual = L_true if pad else 0
+
+    def blk_fn(blk, x, la=0):
         return vit_block(blk, x, cfg.num_attention_heads,
-                         cfg.vit_layer_norm_eps, scores_dtype=sd)
+                         cfg.vit_layer_norm_eps, scores_dtype=sd,
+                         l_actual=la)
 
     def cls_fn(blk, x):
         from .layers import vit_block_cls_only
         return vit_block_cls_only(blk, x, cfg.num_attention_heads,
                                   cfg.vit_layer_norm_eps, scores_dtype=sd)
     if cfg.remat:
-        blk_fn = jax.checkpoint(blk_fn)
+        blk_fn = jax.checkpoint(blk_fn, static_argnums=(2,))
         cls_fn = jax.checkpoint(cls_fn)
     x = visual_in
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
     fork_at = cfg.num_hidden_layers - cfg.split_blocks
     tag_x = None
     for idx, blk in enumerate(params["encoder"]["blocks"]):
         if cfg.token_filter_keep and idx == cfg.token_filter_block:
+            if pad:
+                x = x[:, :L_true]
             x = _filter_tokens_by_attention(blk, x, cfg)
+            L_true = x.shape[1]
+            pad = (-L_true) % 128 if fused else 0
+            l_actual = L_true if pad else 0
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         if idx == fork_at:
-            tag_x = x
-        x = blk_fn(blk, x)
+            tag_x, tag_pad, tag_L = x, pad, L_true
+        x = blk_fn(blk, x, l_actual)
     # only the CLS row of the tag branch is ever consumed (pooler + tagCLS),
     # so the final tag block computes just that row — exact, ~1/4 the branch
     # FLOPs saved
     tag_blocks = params["encoder"]["tag_blocks"]
     for blk in tag_blocks[:-1]:
-        tag_x = blk_fn(blk, tag_x)
+        tag_x = blk_fn(blk, tag_x, tag_L if tag_pad else 0)
+    if pad:
+        x = x[:, :L_true]
+    if tag_x is not None and tag_pad:
+        tag_x = tag_x[:, :tag_L]
     tag_cls = cls_fn(tag_blocks[-1], tag_x) if tag_blocks else tag_x[:, :1]
     return x, tag_cls
 

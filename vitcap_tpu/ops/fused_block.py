@@ -133,14 +133,24 @@ def _block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
 
 def _fused_block_fwd(x: jnp.ndarray, p: Params, num_heads: int,
-                     eps: float, interpret: bool) -> jnp.ndarray:
+                     eps: float, interpret: bool,
+                     l_actual: int = 0) -> jnp.ndarray:
     """Full-block fusion entry: p is a ViT block param tree
-    {'norm1','attn':{'qkv','proj'},'norm2','mlp':{'fc1','fc2'}}."""
+    {'norm1','attn':{'qkv','proj'},'norm2','mlp':{'fc1','fc2'}}.
+
+    l_actual > 0 marks x as ALREADY padded to a TQ multiple with l_actual
+    valid rows — the caller hoisted the pad outside a block loop (a
+    pad+unpad pair costs ~0.15 ms/block at the trunk shape)."""
     B, L, H = x.shape
-    Lp = _round_up(L, TQ)
-    pad = Lp - L
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    if l_actual:
+        assert L % TQ == 0, "pre-padded input must be TQ-aligned"
+        Lp, pad = L, 0
+        L = l_actual
+    else:
+        Lp = _round_up(L, TQ)
+        pad = Lp - L
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
     dt = x.dtype
     kern = functools.partial(_block_kernel, num_heads=num_heads, eps=eps,
                              l_actual=L, lp=Lp)
@@ -404,27 +414,40 @@ def _bert_vjp_bwd(num_heads, eps, interpret, res, g):
 fused_bert_block.defvjp(_bert_vjp_fwd, _bert_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def fused_vit_block(p_block: Params, x: jnp.ndarray, num_heads: int,
-                    ln_eps: float, interpret: bool = False) -> jnp.ndarray:
+                    ln_eps: float, interpret: bool = False,
+                    l_actual: int = 0) -> jnp.ndarray:
     """One whole ViT block (attention + MLP halves) as a single Pallas
     kernel.  Same outputs as models.layers.vit_block (bias-free,
-    dropout-free path) to compute-dtype tolerance."""
-    return _fused_block_fwd(x, p_block, num_heads, ln_eps, interpret)
+    dropout-free path) to compute-dtype tolerance.  l_actual > 0: x is
+    pre-padded to a TQ multiple with that many valid rows (pad hoisted
+    outside the caller's block loop)."""
+    return _fused_block_fwd(x, p_block, num_heads, ln_eps, interpret,
+                            l_actual)
 
 
-def _blk_vjp_fwd(p_block, x, num_heads, ln_eps, interpret):
-    y = _fused_block_fwd(x, p_block, num_heads, ln_eps, interpret)
+def _blk_vjp_fwd(p_block, x, num_heads, ln_eps, interpret, l_actual):
+    y = _fused_block_fwd(x, p_block, num_heads, ln_eps, interpret, l_actual)
     return y, (p_block, x)
 
 
-def _blk_vjp_bwd(num_heads, ln_eps, interpret, res, g):
+def _blk_vjp_bwd(num_heads, ln_eps, interpret, l_actual, res, g):
     # recompute with the explicit XLA body — routing through the public
     # vit_block would re-dispatch here and recurse
     from ..models.layers import _vit_block_xla
     p_block, x = res
-    _, vjp = jax.vjp(lambda p, x: _vit_block_xla(p, x, num_heads, ln_eps),
-                     p_block, x)
+
+    def f(p, x):
+        if l_actual:           # padded rows don't contribute to the loss
+            return _vit_block_xla(p, x[:, :l_actual], num_heads, ln_eps)
+        return _vit_block_xla(p, x, num_heads, ln_eps)
+
+    _, vjp = jax.vjp(f, p_block, x)
+    if l_actual:
+        dp, dx = vjp(g[:, :l_actual])
+        dx = jnp.pad(dx, ((0, 0), (0, x.shape[1] - l_actual), (0, 0)))
+        return dp, dx
     return vjp(g)
 
 
