@@ -49,7 +49,7 @@ def main():
     from vitcap_tpu.models import decode as D
 
     cfg = ModelConfig(dtype="bfloat16")
-    B = 32
+    B = 64      # throughput knee: 450 caps/s @32, 471 @64, 471 @128 (v5e)
     OD = cfg.max_seq_len - cfg.max_seq_a_len
     opts = D.DecodeOptions(max_length=cfg.max_gen_length,
                            od_labels_start_posid=cfg.max_seq_a_len)
@@ -90,7 +90,7 @@ def main():
     v100_rate = 40e12 / ref_flops        # captions/sec on V100 (estimate)
 
     print(json.dumps({
-        "metric": "greedy captions/sec/chip (ViT-B/16-384, B=32, 20 steps)",
+        "metric": f"greedy captions/sec/chip (ViT-B/16-384, B={B}, 20 steps)",
         "value": round(caps_per_sec, 2),
         "unit": "captions/s",
         "vs_baseline": round(caps_per_sec / v100_rate, 2),

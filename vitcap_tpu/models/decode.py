@@ -257,6 +257,28 @@ def _decode_params_cast(params: Params, cfg: ModelConfig) -> Params:
             else a, tree)
     out = dict(params)
     out["decoder"] = cast(params["decoder"])
+    # pre-merge q/k/v into one (H, 3H) matmul per layer for the scan body
+    # (3 small matmuls + bias adds -> 1 per layer per step)
+    layers = []
+    for layer in out["decoder"]["layer"]:
+        ps = layer["attention"]["self"]
+        packed = {
+            "kernel": jnp.concatenate(
+                [ps["query"]["kernel"], ps["key"]["kernel"],
+                 ps["value"]["kernel"]], axis=1),
+            "bias": jnp.concatenate(
+                [ps["query"]["bias"], ps["key"]["bias"],
+                 ps["value"]["bias"]]),
+        }
+        new_self = dict(ps)
+        new_self["qkv_packed"] = packed
+        new_attn = dict(layer["attention"])
+        new_attn["self"] = new_self
+        new_layer = dict(layer)
+        new_layer["attention"] = new_attn
+        layers.append(new_layer)
+    out["decoder"] = dict(out["decoder"])
+    out["decoder"]["layer"] = layers
     out["cls"] = cast(params["cls"])
     emb = dict(params["embeddings"])
     emb["word_embeddings"] = params["embeddings"]["word_embeddings"] \
@@ -287,9 +309,13 @@ def _decode_attention(ps: Params, x_win: jnp.ndarray,
     A = cap_k.shape[2]
     S = ctx_k.shape[2]
 
-    q = dense(ps["query"], x_win)
-    k_win = dense(ps["key"], x_win)
-    v_win = dense(ps["value"], x_win)
+    if "qkv_packed" in ps:       # merged projection (decode_params_cast)
+        q, k_win, v_win = jnp.split(dense(ps["qkv_packed"], x_win), 3,
+                                    axis=-1)
+    else:
+        q = dense(ps["query"], x_win)
+        k_win = dense(ps["key"], x_win)
+        v_win = dense(ps["value"], x_win)
 
     def heads(a, L):
         return a.reshape(a.shape[0], L, num_heads, hd).transpose(0, 2, 1, 3)
