@@ -182,3 +182,37 @@ class TestFusedDecodeEngine:
         np.testing.assert_allclose(np.asarray(ref["logprobs"]),
                                    np.asarray(out["logprobs"]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_int8_kv_cache_quant_close_to_exact():
+    """kv_cache_quant='int8' (opt-in): greedy decode stays functionally
+    intact and close to the exact path on tiny models."""
+    from vitcap_tpu.models import vitcap as M
+    from vitcap_tpu.models import decode as D
+    from vitcap_tpu.models.config import tiny_config
+    cfg = tiny_config()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    B = 2
+    img = jnp.asarray(rs.randn(B, cfg.img_size, cfg.img_size, 3),
+                      jnp.float32)
+    OD = cfg.max_seq_len - cfg.max_seq_a_len
+    od = jnp.asarray(rs.randint(1, cfg.vocab_size, (B, OD)), jnp.int32)
+    sl = jnp.full((B,), cfg.max_seq_a_len + 2, jnp.int32)
+    opts = D.DecodeOptions(max_length=cfg.max_seq_a_len,
+                           od_labels_start_posid=cfg.max_seq_a_len)
+    exact = D.generate(params, img, od, None, sl, cfg, opts)
+    quant = D.generate(params, img, od, None, sl,
+                       cfg.replace(kv_cache_quant="int8"), opts)
+    np.testing.assert_array_equal(np.asarray(exact["ids"]),
+                                  np.asarray(quant["ids"]))
+    np.testing.assert_allclose(np.asarray(exact["logprobs"]),
+                               np.asarray(quant["logprobs"]),
+                               rtol=2e-2, atol=2e-3)
+    # beam path also runs under quantized caches
+    opts_b = D.DecodeOptions(max_length=cfg.max_seq_a_len, num_beams=3,
+                             num_keep_best=2,
+                             od_labels_start_posid=cfg.max_seq_a_len)
+    out_b = D.generate(params, img, od, None, sl,
+                       cfg.replace(kv_cache_quant="int8"), opts_b)
+    assert np.asarray(out_b["ids"]).shape == (B, 2, cfg.max_seq_a_len)

@@ -101,6 +101,15 @@ class ModelConfig:
                                          # attention-prob activations alone
                                          # exceed HBM at training batch sizes
                                          # (no-op for forward-only jits)
+    kv_cache_quant: str = "none"         # 'none' | 'int8': quantize the
+                                         # static decode context K/V caches
+                                         # per (layer, image, head) absmax.
+                                         # The caches are the dominant
+                                         # per-step HBM traffic of the
+                                         # decode scan (247MB/step at B=32);
+                                         # int8 halves it.  Opt-in quality
+                                         # knob (NOT reference behavior) —
+                                         # tiny-model logits shift ~1e-2.
 
     def __post_init__(self):
         if self.split_blocks > self.num_hidden_layers:

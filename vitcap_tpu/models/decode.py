@@ -203,6 +203,8 @@ def build_decode_context(params: Params, images: jnp.ndarray,
                 # head layout so the XLA scan body reads the caches
                 # directly (no per-step transpose inside the scan)
                 k, v = to_heads(k), to_heads(v)
+                if cfg.kv_cache_quant == "int8":
+                    k, v = _quantize_cache(k), _quantize_cache(v)
             ctx_k.append(k)
             ctx_v.append(v)
             x = _bert_layer_full(layer, x, bias, cfg)
@@ -222,6 +224,27 @@ def build_decode_context(params: Params, images: jnp.ndarray,
     return out
 
 
+def _quantize_cache(a: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Per-(image, head) absmax int8 quantization of a (B, nH, S, hd)
+    cache (cfg.kv_cache_quant='int8', opt-in — the caches dominate the
+    decode scan's HBM traffic)."""
+    absmax = jnp.max(jnp.abs(a.astype(jnp.float32)), axis=(2, 3),
+                     keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0          # (B, nH, 1, 1)
+    q8 = jnp.clip(jnp.round(a.astype(jnp.float32) / scale),
+                  -127, 127).astype(jnp.int8)
+    return {"q8": q8, "scale": scale}
+
+
+def _quantize_rows(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row absmax int8 quantization over the last axis (for the q and
+    prob operands of native-int8 MXU dots)."""
+    absmax = jnp.max(jnp.abs(a), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q8 = jnp.clip(jnp.round(a / scale), -127, 127).astype(jnp.int8)
+    return q8, scale
+
+
 def _ctx_layout(ctx: Dict[str, Any]) -> str:
     return "flat" if "ctx_bias" in ctx else "heads"
 
@@ -229,7 +252,8 @@ def _ctx_layout(ctx: Dict[str, Any]) -> str:
 def _ctx_batch(ctx: Dict[str, Any]) -> int:
     if _ctx_layout(ctx) == "flat":
         return ctx["ctx_k"].shape[1]
-    return ctx["ctx_k"][0].shape[0]
+    k0 = ctx["ctx_k"][0]
+    return (k0["q8"] if isinstance(k0, dict) else k0).shape[0]
 
 
 def _bert_layer_full(layer: Params, x: jnp.ndarray, bias: jnp.ndarray,
@@ -303,11 +327,13 @@ def _decode_attention(ps: Params, x_win: jnp.ndarray,
     body reads every cache byte exactly once.  Returns (out, cap_k, cap_v).
     """
     Bb, W, H = x_win.shape
-    B = ctx_k.shape[0]
+    quant = isinstance(ctx_k, dict)           # int8 cache (kv_cache_quant)
+    k_arr = ctx_k["q8"] if quant else ctx_k
+    B = k_arr.shape[0]
     nb = Bb // B
     hd = H // num_heads
     A = cap_k.shape[2]
-    S = ctx_k.shape[2]
+    S = k_arr.shape[2]
 
     if "qkv_packed" in ps:       # merged projection (decode_params_cast)
         q, k_win, v_win = jnp.split(dense(ps["qkv_packed"], x_win), 3,
@@ -333,8 +359,16 @@ def _decode_attention(ps: Params, x_win: jnp.ndarray,
     s_self = jnp.einsum("bhqd,bhd->bhq", qh, kh_win[:, :, 1],
                         preferred_element_type=jnp.float32)[..., None]
     q4 = qh.reshape(B, nb, num_heads, W, hd)
-    s_ctx = jnp.einsum("bnhqd,bhkd->bnhqk", q4, ctx_k,
-                       preferred_element_type=jnp.float32)
+    if quant:
+        # native int8 MXU dot: quantize q per row, rescale the int32 result
+        q8, q_scale = _quantize_rows(q4.astype(jnp.float32))
+        s32 = jnp.einsum("bnhqd,bhkd->bnhqk", q8, ctx_k["q8"],
+                         preferred_element_type=jnp.int32)
+        s_ctx = s32.astype(jnp.float32) * q_scale \
+            * ctx_k["scale"][:, None, :, :, 0:1]
+    else:
+        s_ctx = jnp.einsum("bnhqd,bhkd->bnhqk", q4, ctx_k,
+                           preferred_element_type=jnp.float32)
     s_ctx = s_ctx.reshape(Bb, num_heads, W, S)
 
     scale = hd ** -0.5
@@ -353,9 +387,16 @@ def _decode_attention(ps: Params, x_win: jnp.ndarray,
     out = jnp.einsum("bhqk,bhkd->bhqd", p_cap, cap_v,
                      preferred_element_type=x_win.dtype)
     out += p_self * vh_win[:, :, 1:2]
-    o_ctx = jnp.einsum("bnhqk,bhkd->bnhqd",
-                       p_ctx.reshape(B, nb, num_heads, W, S),
-                       ctx_v, preferred_element_type=x_win.dtype)
+    p_ctx5 = p_ctx.reshape(B, nb, num_heads, W, S)
+    if quant:
+        p8, p_scale = _quantize_rows(p_ctx5.astype(jnp.float32))
+        o32 = jnp.einsum("bnhqk,bhkd->bnhqd", p8, ctx_v["q8"],
+                         preferred_element_type=jnp.int32)
+        o_ctx = (o32.astype(jnp.float32) * p_scale
+                 * ctx_v["scale"][:, None, :, :, 0:1]).astype(x_win.dtype)
+    else:
+        o_ctx = jnp.einsum("bnhqk,bhkd->bnhqd", p_ctx5, ctx_v,
+                           preferred_element_type=x_win.dtype)
     out += o_ctx.reshape(Bb, num_heads, W, hd)
     out = out.transpose(0, 2, 1, 3).reshape(Bb, W, H)
     return out, cap_k, cap_v
