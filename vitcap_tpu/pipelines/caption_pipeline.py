@@ -615,6 +615,24 @@ class CaptionUniPipeline(UniPipeline):
 
         B = int(self.cfg.test_batch_size)
         n_done = 0
+        # one-batch software pipeline: dispatch batch i+1 to the device
+        # BEFORE fetching batch i's tokens, so host-side tokenizer decode +
+        # input prep overlap device compute (jax dispatch is async; only
+        # np.asarray blocks).  CBS decodes host-interactively, so it stays
+        # synchronous.
+        pending = None           # (keys, n, device_ids, device_logprobs)
+
+        def drain(p):
+            keys, n, d_ids, d_lp = p
+            ids = np.asarray(d_ids)[:n]
+            confs = np.exp(np.asarray(d_lp))[:n]
+            for key, caps, cfs in zip(keys, ids, confs):
+                res = [{"caption": self.tokenizer.decode(
+                            c.tolist(), skip_special_tokens=True),
+                        "conf": float(cf)}
+                       for c, cf in zip(caps, cfs)]
+                yield key, json.dumps(res)
+
         for batch in dataloader:
             t0 = time.time()
             images = np.asarray(batch["image"], np.float32)
@@ -640,26 +658,30 @@ class CaptionUniPipeline(UniPipeline):
                     cfg, opts)
                 ids = best[:n, None, :]
                 confs = np.exp(best_lp)[:n, None]
+                meters.update(decode_time=time.time() - t0)
+                for key, caps, cfs in zip(batch["key"], ids, confs):
+                    res = [{"caption": self.tokenizer.decode(
+                                c.tolist(), skip_special_tokens=True),
+                            "conf": float(cf)}
+                           for c, cf in zip(caps, cfs)]
+                    yield key, json.dumps(res)
             else:
                 if mesh is not None:
                     put = lambda a: jax.device_put(jnp.asarray(a), b_shard)
                 else:
                     put = jnp.asarray
-                ids, logprobs = run(params, put(images), put(od_ids),
-                                    put(tt[:, A:]), put(seq_len))
-                ids = np.asarray(ids)[:n]
-                confs = np.exp(np.asarray(logprobs))[:n]
-            meters.update(decode_time=time.time() - t0)
-            for key, caps, cfs in zip(batch["key"], ids, confs):
-                res = [{"caption": self.tokenizer.decode(
-                            c.tolist(), skip_special_tokens=True),
-                        "conf": float(cf)}
-                       for c, cf in zip(caps, cfs)]
-                yield key, json.dumps(res)
+                d_ids, d_lp = run(params, put(images), put(od_ids),
+                                  put(tt[:, A:]), put(seq_len))
+                if pending is not None:
+                    yield from drain(pending)
+                pending = (list(batch["key"]), n, d_ids, d_lp)
+                meters.update(decode_time=time.time() - t0)
             n_done += 1
             if self.cfg.test_max_iter is not None \
                     and n_done >= int(self.cfg.test_max_iter):
                 break
+        if pending is not None:
+            yield from drain(pending)
 
     def predict_output_to_tsv_row(self, data, output) -> Iterator:
         """Reference-shaped hook (…bertemb.py:620-631)."""
