@@ -246,3 +246,47 @@ class TestFusedVitAttn:
                         jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-3)
+
+    def test_train_fused_blocks_grad_parity(self):
+        """cfg.train_fused_blocks routes the train forward through the
+        fused kernel (interpret on CPU); loss + grads match XLA."""
+        import os
+        from vitcap_tpu.models import vitcap as M
+        from vitcap_tpu.models.config import tiny_config
+        cfg_x = tiny_config(img_size=128)   # 65 tokens -> fused eligible
+        cfg_f = cfg_x.replace(train_fused_blocks=True)
+        params = M.init_params(jax.random.PRNGKey(0), cfg_x)
+        rs = np.random.RandomState(0)
+        B, T = 2, cfg_x.max_seq_len
+        batch = dict(
+            image=jnp.asarray(rs.randn(B, cfg_x.img_size, cfg_x.img_size,
+                                       3), jnp.float32),
+            input_ids=jnp.asarray(rs.randint(1, cfg_x.vocab_size, (B, T)),
+                                  jnp.int32),
+            token_type_ids=jnp.zeros((B, T), jnp.int32),
+            seq_a_len=jnp.full((B,), cfg_x.max_seq_a_len, jnp.int32),
+            seq_len=jnp.full((B,), T, jnp.int32),
+            masked_pos=jnp.zeros((B, T), jnp.int32).at[:, 1].set(1)
+            .at[:, 3].set(1),
+            masked_ids=jnp.zeros((B, cfg_x.max_masked_tokens), jnp.int32)
+            .at[:, 0].set(7).at[:, 1].set(9),
+            label=jnp.zeros((B, cfg_x.tag_vocab_size), jnp.float32)
+            .at[:, 3].set(1.0),
+        )
+        lx, gx = jax.value_and_grad(
+            lambda p: M.forward_train(p, batch, cfg_x)[0])(params)
+        old = os.environ.get("VITCAP_PALLAS")
+        os.environ["VITCAP_PALLAS"] = "interpret"
+        try:
+            lf, gf = jax.value_and_grad(
+                lambda p: M.forward_train(p, batch, cfg_f)[0])(params)
+        finally:
+            if old is None:
+                os.environ.pop("VITCAP_PALLAS")
+            else:
+                os.environ["VITCAP_PALLAS"] = old
+        assert abs(float(lx) - float(lf)) < 1e-4
+        for a, b in zip(jax.tree_util.tree_leaves(gx),
+                        jax.tree_util.tree_leaves(gf)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)

@@ -101,6 +101,18 @@ class ModelConfig:
                                          # attention-prob activations alone
                                          # exceed HBM at training batch sizes
                                          # (no-op for forward-only jits)
+    train_fused_blocks: bool = False     # route the TRAIN-time trunk
+                                         # forward through the fused Pallas
+                                         # block kernel (custom-vjp saves
+                                         # only block inputs = remat
+                                         # memory; backward recomputes via
+                                         # XLA).  Measured SLOWER than
+                                         # remat-XLA (84.2 vs 89.5 img/s at
+                                         # B=64 — XLA fuses the remat
+                                         # recompute into the backward
+                                         # better than the split pipeline);
+                                         # kept as an experiment knob,
+                                         # grad-parity tested.
     kv_cache_quant: str = "none"         # 'none' | 'int8': quantize the
                                          # static decode context K/V caches
                                          # per (layer, image, head) absmax.

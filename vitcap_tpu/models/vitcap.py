@@ -213,22 +213,47 @@ def split_encoder(params: Params, visual_in: jnp.ndarray, cfg: ModelConfig
     # each at the trunk shape).  Padded rows are masked as attention keys
     # inside the kernel and sliced off at the end.
     from ..ops import attention_backend
-    fused = attention_backend() != "xla"
+    backend = attention_backend()
+    fused = backend != "xla"
+    # opt-in train-time fused forward (cfg.train_fused_blocks): the
+    # kernel's custom-vjp saves only block inputs (= remat memory) while
+    # skipping remat's second forward
+    train_fused = False
+    if cfg.train_fused_blocks and not fused:
+        import os
+        from ..ops import _on_tpu
+        interp = os.environ.get("VITCAP_PALLAS") == "interpret"
+        if _on_tpu() or interp:
+            fused = train_fused = True
+            backend = "pallas_interpret" if interp else "pallas"
     L_true = visual_in.shape[1]
     pad = (-L_true) % 128 if fused else 0
     l_actual = L_true if pad else 0
 
-    def blk_fn(blk, x, la=0):
-        return vit_block(blk, x, cfg.num_attention_heads,
-                         cfg.vit_layer_norm_eps, scores_dtype=sd,
-                         l_actual=la)
+    if train_fused:
+        from ..ops.fused_block import fused_vit_block
+
+        def blk_fn(blk, x, la=0):
+            # direct kernel call: the vit_block dispatch would see the
+            # train-time (non-inference) backend and fall back to XLA.
+            # No outer jax.checkpoint — the custom-vjp already saves only
+            # the block inputs.
+            return fused_vit_block(blk, x, cfg.num_attention_heads,
+                                   cfg.vit_layer_norm_eps,
+                                   backend == "pallas_interpret", la)
+    else:
+        def blk_fn(blk, x, la=0):
+            return vit_block(blk, x, cfg.num_attention_heads,
+                             cfg.vit_layer_norm_eps, scores_dtype=sd,
+                             l_actual=la)
 
     def cls_fn(blk, x):
         from .layers import vit_block_cls_only
         return vit_block_cls_only(blk, x, cfg.num_attention_heads,
                                   cfg.vit_layer_norm_eps, scores_dtype=sd)
     if cfg.remat:
-        blk_fn = jax.checkpoint(blk_fn, static_argnums=(2,))
+        if not train_fused:
+            blk_fn = jax.checkpoint(blk_fn, static_argnums=(2,))
         cls_fn = jax.checkpoint(cls_fn)
     x = visual_in
     if pad:

@@ -453,9 +453,8 @@ def _blk_vjp_bwd(num_heads, ln_eps, interpret, l_actual, res, g):
 
     _, vjp = jax.vjp(f, p_block, x)
     if l_actual:
-        dp, dx = vjp(g[:, :l_actual])
-        dx = jnp.pad(dx, ((0, 0), (0, x.shape[1] - l_actual), (0, 0)))
-        return dp, dx
+        # vjp through f's internal slice already zero-fills the padded rows
+        return vjp(g[:, :l_actual])
     return vjp(g)
 
 
