@@ -106,3 +106,30 @@ def test_orbax_checkpoint_backend(tmp_path):
     ck3 = Checkpointer(str(tmp_path / "snap"))   # msgpack view of same dir
     ck3.save(5, state)
     assert load_state(ck3.last_checkpoint())["iteration"] == 5
+
+
+def test_acquire_lock_and_remove_dir(tmp_path):
+    """acquire_lock context manager + ensure_remove_dir (reference
+    acquireLock / ensure_remove_dir)."""
+    from vitcap_tpu.utils.common import acquire_lock, ensure_remove_dir
+    lock = str(tmp_path / "x.LOCK")
+    with acquire_lock(lock):
+        assert (tmp_path / "x.LOCK").exists()
+    with acquire_lock(lock):     # re-acquirable after release
+        pass
+    d = tmp_path / "sub"
+    (d / "inner").mkdir(parents=True)
+    (d / "inner" / "f.txt").write_text("x")
+    ensure_remove_dir(str(d))
+    assert not d.exists()
+    ensure_remove_dir(str(d))    # missing-ok
+
+
+def test_encoded_from_img_roundtrip():
+    """encoded_from_img is the inverse of img_from_base64."""
+    import numpy as np
+    from vitcap_tpu.data.transforms import encoded_from_img, img_from_base64
+    arr = (np.random.RandomState(0).rand(16, 16, 3) * 255).astype("uint8")
+    s = encoded_from_img(arr, fmt="PNG")      # lossless for exactness
+    back = np.asarray(img_from_base64(s))
+    np.testing.assert_array_equal(arr, back)

@@ -333,6 +333,35 @@ def limited_retry_agent(n_retry: int, func, *args, sleep_s: float = 1.0,
             time.sleep(sleep_s)
 
 
+class acquire_lock:
+    """Exclusive fcntl lock on a lockfile, as a context manager (reference
+    `acquireLock`/`releaseLock`, common.py:515-527); guards multi-process
+    critical sections on a shared filesystem."""
+
+    def __init__(self, lock_path: str = "/tmp/vitcap_lockfile.LOCK"):
+        self.lock_path = lock_path
+        self._fp = None
+
+    def __enter__(self):
+        import fcntl
+        self._fp = open(self.lock_path, "a")
+        fcntl.flock(self._fp.fileno(), fcntl.LOCK_EX)
+        return self._fp
+
+    def __exit__(self, *exc):
+        import fcntl
+        fcntl.flock(self._fp.fileno(), fcntl.LOCK_UN)
+        self._fp.close()
+        return False
+
+
+def ensure_remove_dir(d: str) -> None:
+    """rm -rf semantics, missing-ok (reference `ensure_remove_dir`)."""
+    import shutil
+    if op.isdir(d):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def exclusive_open_to_read(fname: str, mode: str = "r"):
     """Open with an fcntl shared lock on a sidecar lockfile, retried
     (reference common.py:591-607); protects shared-FS reads."""
