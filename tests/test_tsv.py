@@ -101,3 +101,45 @@ def test_iter_caption_to_json(tmp_path):
     assert len(got["images"]) == 2
     assert len(got["annotations"]) == 3
     assert got["annotations"][0]["caption"] == "a cat"
+
+
+def test_native_lineidx_matches_python(tmp_path):
+    """native/tsvtools.cpp .lineidx.8b builder == Python scan, and TSVFile
+    random access works from the natively built index."""
+    from vitcap_tpu.data import tsv as T
+    from vitcap_tpu.data.native_tsv import build_lineidx_8b
+    rows = [["k%d" % i, "payload\tcol%d" % i] for i in range(257)]
+    p = tmp_path / "t.tsv"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write("\t".join(r) + "\n")
+    # python reference offsets
+    T.generate_lineidx(str(p), str(tmp_path / "ref.lineidx"))
+    import numpy as np
+    ref = np.loadtxt(tmp_path / "ref.lineidx", dtype=np.int64, ndmin=1)
+    n = build_lineidx_8b(str(p), str(tmp_path / "t.lineidx.8b"))
+    if n is None:
+        import pytest
+        pytest.skip("no g++ toolchain")
+    assert n == len(rows)
+    got = np.fromfile(tmp_path / "t.lineidx.8b", dtype="<u8")
+    np.testing.assert_array_equal(got.astype(np.int64), ref)
+    tf = T.TSVFile(str(p), generate_index=False)
+    assert tf[0][0] == "k0"
+    assert tf[256][0] == "k256"
+    assert len(tf) == 257
+
+
+def test_tsvfile_autobuilds_native_index(tmp_path):
+    """TSVFile._ensure_offsets prefers the native 8b builder."""
+    from vitcap_tpu.data.tsv import TSVFile
+    p = tmp_path / "auto.tsv"
+    with open(p, "w") as f:
+        for i in range(10):
+            f.write(f"key{i}\tv{i}\n")
+    tf = TSVFile(str(p))
+    assert tf[3] == ["key3", "v3"]
+    # one of the sidecars must exist now
+    import os.path as op
+    assert op.isfile(str(tmp_path / "auto.lineidx.8b")) \
+        or op.isfile(str(tmp_path / "auto.lineidx"))

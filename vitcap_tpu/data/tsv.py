@@ -72,7 +72,12 @@ class TSVFile:
             if not self._generate_index:
                 raise FileNotFoundError(
                     f"no lineidx for {self.tsv_path}")
-            generate_lineidx(self.tsv_path, self.lineidx_path)
+            # native C++ scanner writes .lineidx.8b at disk speed
+            # (native/tsvtools.cpp); Python per-line scan is the fallback
+            from .native_tsv import build_lineidx_8b
+            if build_lineidx_8b(self.tsv_path,
+                                self.lineidx_8b_path) is None:
+                generate_lineidx(self.tsv_path, self.lineidx_path)
         if op.isfile(self.lineidx_8b_path):
             self._offsets = np.memmap(self.lineidx_8b_path, dtype="<u8",
                                       mode="r")
