@@ -267,3 +267,41 @@ def test_predict_local_data_parallel(workdir):
     single = captions({"test_batch_size": 1, "full_expid": pip.full_expid,
                        "force_predict": True})
     assert multi == single
+
+
+def test_sigterm_preemption_snapshot(workdir):
+    """SIGTERM mid-training -> snapshot at the step boundary + SystemExit
+    143; a fresh pipeline resumes from it and finishes."""
+    import os
+    import signal
+    import run as R
+    param = _param(workdir)
+    param["expid"] = "preempt"
+    param["max_iter"] = 50          # long enough that SIGTERM lands mid-run
+    param["snapshot_steps"] = 1000  # no cadence snapshots: only preemption
+    pip = R.create_pipeline(param)
+    # deliver SIGTERM deterministically from inside the loop: the 2nd
+    # batch-transfer call raises it in the main thread (jit-compile time
+    # makes wall-clock timers flaky)
+    orig = pip._device_train_batch
+    calls = {"n": 0}
+
+    def tripwire(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return orig(*a, **kw)
+
+    pip._device_train_batch = tripwire
+    with pytest.raises(SystemExit) as e:
+        pip.ensure_train()
+    assert e.value.code == 143
+    pip._device_train_batch = orig
+    out = workdir / "output" / "tinycoco_tiny_preempt" / "snapshot"
+    snaps = sorted(out.glob("model_iter_*.ckpt"))
+    assert snaps, "preemption snapshot missing"
+    # resume completes the run from the snapshot
+    param["max_iter"] = int(snaps[-1].name[len("model_iter_"):-5]) + 1
+    pip2 = R.create_pipeline(param)
+    pip2.ensure_train()
+    assert (out / f"model_iter_{param['max_iter']:07d}.ckpt").is_file()

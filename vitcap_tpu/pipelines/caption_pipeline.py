@@ -363,6 +363,24 @@ class CaptionUniPipeline(UniPipeline):
         profile_n = int(self.cfg.get("jax_profile_steps") or 5)
         tracing = False
 
+        # preemption-safe shutdown: TPU VMs get SIGTERM before reclaim; a
+        # caught signal requests one final snapshot + clean loop exit so
+        # recover_or_load resumes from the exact iteration.  (The reference
+        # has no preemption handling; its best-effort snapshots are on a
+        # step cadence only, trainer.py:177-185.)
+        import signal
+        preempted = {"flag": False}
+        prev_handler = None
+
+        def _on_sigterm(signum, frame):
+            preempted["flag"] = True
+            logging.warning("SIGTERM: will snapshot and exit at the next "
+                            "step boundary")
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:                 # non-main thread: skip
+            prev_handler = None
+
         # host batches are prefetched by the thread-pool DataLoader; the
         # device transfer + step dispatch below are async, so host prep of
         # batch N+1 overlaps device compute of batch N
@@ -400,11 +418,22 @@ class CaptionUniPipeline(UniPipeline):
                     and iteration != self.max_iter and self.mpi_rank == 0:
                 ckpt.save(iteration, self._state_dict(state))
             t_end = time.time()
+            if preempted["flag"]:
+                if self.mpi_rank == 0:
+                    ckpt.save(iteration, self._state_dict(state))
+                    ckpt.wait_until_finished()
+                logging.warning("preemption snapshot at iter %d written; "
+                                "exiting train loop", iteration)
+                break
             if iteration >= self.max_iter:
                 break
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         if tracing:                       # window ran past max_iter
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
+        if preempted["flag"]:
+            raise SystemExit(143)         # standard SIGTERM exit status
         if self.mpi_rank == 0:
             ckpt.save(self.max_iter, self._state_dict(state))
         # async orbax saves serialize in the background; the final snapshot
