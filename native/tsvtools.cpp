@@ -2,9 +2,9 @@
 //
 // Scans a TSV once with 8MB buffered reads + memchr and writes the
 // `.lineidx.8b` sidecar (little-endian u64 byte offsets, the format the
-// reference reads at tsv_io.py:267-286) via tmp-then-rename so concurrent
-// builders don't race.  Python's per-line loop takes minutes on multi-GB
-// caption/image TSVs; this runs at disk speed.
+// reference reads at tsv_io.py:267-286) via a per-process tmp + rename so
+// concurrent builders don't race.  Python's per-line loop takes minutes on
+// multi-GB caption/image TSVs; this runs at disk speed.
 //
 // Exposed via ctypes (vitcap_tpu/data/native_tsv.py); g++ -O3 -shared.
 
@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <string>
 #include <vector>
+#include <unistd.h>
 
 extern "C" {
 
@@ -21,7 +22,10 @@ long long build_lineidx_8b(const char* tsv_path, const char* out_path) {
     FILE* in = std::fopen(tsv_path, "rb");
     if (!in) return -1;
 
-    std::string tmp = std::string(out_path) + ".tmpnative";
+    // unique per-process tmp so concurrent builders never share an inode;
+    // whichever rename lands last wins with a complete file either way
+    std::string tmp = std::string(out_path) + ".tmp."
+        + std::to_string(static_cast<long>(::getpid()));
     FILE* out = std::fopen(tmp.c_str(), "wb");
     if (!out) { std::fclose(in); return -1; }
 

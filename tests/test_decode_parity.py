@@ -134,12 +134,16 @@ class TestFusedDecodeEngine:
         cfg = tiny_config()
         params = M.init_params(jax.random.PRNGKey(0), cfg)
         rs = np.random.RandomState(0)
-        B = 2
+        # B=4 so the kernel groups several images per grid cell, and
+        # PER-IMAGE seq_len so each image carries a different od-validity
+        # bias (a uniform seq_len masked a wrong-image bias read once)
+        B = 4
         img = jnp.asarray(rs.randn(B, cfg.img_size, cfg.img_size, 3),
                           jnp.float32)
         OD = cfg.max_seq_len - cfg.max_seq_a_len
         od = jnp.asarray(rs.randint(1, cfg.vocab_size, (B, OD)), jnp.int32)
-        sl = jnp.full((B,), cfg.max_seq_a_len + 2, jnp.int32)
+        sl = jnp.asarray([cfg.max_seq_a_len + (i % (OD + 1))
+                          for i in range(B)], jnp.int32)
         return cfg, params, img, od, sl
 
     def _run(self, opts, backend):

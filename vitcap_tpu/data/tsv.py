@@ -79,8 +79,12 @@ class TSVFile:
                                 self.lineidx_8b_path) is None:
                 generate_lineidx(self.tsv_path, self.lineidx_path)
         if op.isfile(self.lineidx_8b_path):
-            self._offsets = np.memmap(self.lineidx_8b_path, dtype="<u8",
-                                      mode="r")
+            if os.path.getsize(self.lineidx_8b_path) == 0:
+                # empty TSV: memmap refuses 0-byte files
+                self._offsets = np.empty(0, dtype=np.int64)
+            else:
+                self._offsets = np.memmap(self.lineidx_8b_path, dtype="<u8",
+                                          mode="r")
         else:
             self._offsets = np.loadtxt(self.lineidx_path, dtype=np.int64,
                                        ndmin=1)

@@ -460,6 +460,23 @@ def _init_caps(B: int, n_layers: int, A: int, H: int, dtype,
                for _ in range(n_layers)]
 
 
+def _pick_layout(cfg: ModelConfig) -> str:
+    """Cache layout for the decode engine.  The int8-cache config knob
+    only exists on the XLA/heads engine, so it wins over the
+    VITCAP_DECODE_FUSED env opt-in (with a warning) rather than being
+    silently dropped."""
+    if _use_fused_decode():
+        if cfg.kv_cache_quant != "none":
+            import logging
+            logging.warning(
+                "kv_cache_quant=%s is unsupported by the fused decode "
+                "engine; using the XLA scan engine with quantized caches",
+                cfg.kv_cache_quant)
+            return "heads"
+        return "flat"
+    return "heads"
+
+
 def _use_fused_decode() -> bool:
     """Opt-in routing of the decode scan through the one-kernel-per-step
     Pallas engine (ops/decode_step.py): VITCAP_DECODE_FUSED=1 (TPU) or
@@ -569,9 +586,9 @@ def generate_greedy(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
     A = opts.max_length
     nrs = opts.num_return_sequences
     if ctx is None:
-        layout = "flat" if _use_fused_decode() else "heads"
         ctx = build_decode_context(params, images, od_ids, od_token_type_ids,
-                                   seq_len, cfg, opts, layout=layout)
+                                   seq_len, cfg, opts,
+                                   layout=_pick_layout(cfg))
     params = _decode_params_cast(params, cfg)   # once, outside the scan
     B = _ctx_batch(ctx)
     Bb = B * nrs
@@ -646,9 +663,8 @@ def generate_beam(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
     nb = opts.num_beams
     K = opts.num_keep_best
     lp_pow = opts.length_penalty
-    layout = "flat" if _use_fused_decode() else "heads"
     ctx = build_decode_context(params, images, od_ids, od_token_type_ids,
-                               seq_len, cfg, opts, layout=layout)
+                               seq_len, cfg, opts, layout=_pick_layout(cfg))
     params = _decode_params_cast(params, cfg)   # once, outside the scan
     B = _ctx_batch(ctx)
     Bb = B * nb

@@ -226,8 +226,9 @@ def vit_forward(params: Params, images: jnp.ndarray,
     if token_drop > 0.0:
         if rng is None:
             raise ValueError("token_drop needs an rng key")
+        import math
         B, L, _ = x.shape
-        n_keep = max(1, int((L - 1) * (1.0 - token_drop)))
+        n_keep = max(1, math.ceil((L - 1) * (1.0 - token_drop)))
         noise = jax.random.uniform(rng, (B, L - 1))
         keep_idx = jnp.argsort(noise, axis=1)[:, :n_keep] + 1  # skip CLS
         keep_idx = jnp.sort(keep_idx, axis=1)                  # keep order

@@ -36,15 +36,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_block import _gelu_exact
+from .fused_block import _gelu_exact, _round_up
 
 Params = Dict[str, Any]
 
 NEG = -1e30           # padded context columns (exact 0 after softmax)
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +165,8 @@ def _kernel(t_ref, xin_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         img = i // nb if nb <= bb else 0
         ctxk = ctxk_ref[0, img]                        # (Sp, H)
         ctxv = ctxv_ref[0, img]
-        cbias = ctxb_ref[0, img]                       # (1, Sp) f32
+        # ctxb block is (n_img, 1, Sp): image is the FIRST axis here
+        cbias = ctxb_ref[img]                          # (1, Sp) f32
         oi = jnp.zeros((2, H), jnp.float32)
         for h in range(num_heads):
             cs = slice(h * hd, (h + 1) * hd)

@@ -384,60 +384,64 @@ class CaptionUniPipeline(UniPipeline):
         # host batches are prefetched by the thread-pool DataLoader; the
         # device transfer + step dispatch below are async, so host prep of
         # batch N+1 overlaps device compute of batch N
-        for batch in loader:
-            if profile_dir and iteration == start_iter + profile_at:
-                jax.profiler.start_trace(profile_dir)
-                tracing = True
-            data_time = time.time() - t_end
-            dev = self._device_train_batch(batch, mesh, shard_batch)
-            if gen_tag_ratio is not None:
-                # linear ramp to 1.0 over training (…bertemb.py:99-101)
-                dev["gen_tag_ratio"] = jnp.asarray(
-                    max(float(gen_tag_ratio), iteration / self.max_iter),
-                    jnp.float32)
-            state, metrics = step_fn(state, dev)
-            iteration += 1
-            if tracing and iteration >= start_iter + profile_at + profile_n:
+        try:
+            for batch in loader:
+                if profile_dir and iteration == start_iter + profile_at:
+                    jax.profiler.start_trace(profile_dir)
+                    tracing = True
+                data_time = time.time() - t_end
+                dev = self._device_train_batch(batch, mesh, shard_batch)
+                if gen_tag_ratio is not None:
+                    # linear ramp to 1.0 over training (…bertemb.py:99-101)
+                    dev["gen_tag_ratio"] = jnp.asarray(
+                        max(float(gen_tag_ratio), iteration / self.max_iter),
+                        jnp.float32)
+                state, metrics = step_fn(state, dev)
+                iteration += 1
+                if tracing and iteration >= start_iter + profile_at + profile_n:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    tracing = False
+                if iteration % log_step == 0 or iteration == self.max_iter:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    if not np.isfinite(m["loss"]):
+                        ckpt.save(iteration, self._state_dict(state))
+                        raise RuntimeError(f"NaN loss at iter {iteration}: {m}")
+                    step_time = time.time() - t_end
+                    meters.update(loss=m["loss"], data=data_time,
+                                  time=step_time)
+                    eta = (self.max_iter - iteration) * meters.time.global_avg
+                    logging.info(
+                        "iter %d/%d %s lr_mult %.4f acc %.3f eta %.0fs",
+                        iteration, self.max_iter, meters, m.get("lr_mult", 0),
+                        m.get("caption_acc", 0), eta)
+                if iteration % snapshot_steps == 0 \
+                        and iteration != self.max_iter and self.mpi_rank == 0:
+                    ckpt.save(iteration, self._state_dict(state))
+                t_end = time.time()
+                if preempted["flag"] and iteration < self.max_iter:
+                    if self.mpi_rank == 0:
+                        ckpt.save(iteration, self._state_dict(state))
+                        ckpt.wait_until_finished()
+                    logging.warning("preemption snapshot at iter %d written; "
+                                    "exiting train loop", iteration)
+                    break
+                if iteration >= self.max_iter:
+                    break
+            if tracing:                       # window ran past max_iter
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
-                tracing = False
-            if iteration % log_step == 0 or iteration == self.max_iter:
-                m = {k: float(v) for k, v in metrics.items()}
-                if not np.isfinite(m["loss"]):
-                    ckpt.save(iteration, self._state_dict(state))
-                    raise RuntimeError(f"NaN loss at iter {iteration}: {m}")
-                step_time = time.time() - t_end
-                meters.update(loss=m["loss"], data=data_time,
-                              time=step_time)
-                eta = (self.max_iter - iteration) * meters.time.global_avg
-                logging.info(
-                    "iter %d/%d %s lr_mult %.4f acc %.3f eta %.0fs",
-                    iteration, self.max_iter, meters, m.get("lr_mult", 0),
-                    m.get("caption_acc", 0), eta)
-            if iteration % snapshot_steps == 0 \
-                    and iteration != self.max_iter and self.mpi_rank == 0:
-                ckpt.save(iteration, self._state_dict(state))
-            t_end = time.time()
-            if preempted["flag"]:
-                if self.mpi_rank == 0:
-                    ckpt.save(iteration, self._state_dict(state))
-                    ckpt.wait_until_finished()
-                logging.warning("preemption snapshot at iter %d written; "
-                                "exiting train loop", iteration)
-                break
-            if iteration >= self.max_iter:
-                break
-        if prev_handler is not None:
-            signal.signal(signal.SIGTERM, prev_handler)
-        if tracing:                       # window ran past max_iter
-            jax.block_until_ready(metrics["loss"])
-            jax.profiler.stop_trace()
-        if preempted["flag"]:
-            raise SystemExit(143)         # standard SIGTERM exit status
-        if self.mpi_rank == 0:
-            ckpt.save(self.max_iter, self._state_dict(state))
-        # async orbax saves serialize in the background; the final snapshot
-        # must be durable before ensure_train returns (predict checks it)
+            # a completed run always writes its final checkpoint, even if the
+            # SIGTERM landed after the last step
+            if preempted["flag"] and iteration < self.max_iter:
+                raise SystemExit(143)         # standard SIGTERM exit status
+            if self.mpi_rank == 0:
+                ckpt.save(self.max_iter, self._state_dict(state))
+            # async orbax saves serialize in the background; the final snapshot
+            # must be durable before ensure_train returns (predict checks it)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
         ckpt.wait_until_finished()
         return state
 
@@ -649,12 +653,15 @@ class CaptionUniPipeline(UniPipeline):
         # input prep overlap device compute (jax dispatch is async; only
         # np.asarray blocks).  CBS decodes host-interactively, so it stays
         # synchronous.
-        pending = None           # (keys, n, device_ids, device_logprobs)
+        pending = None    # (keys, n, device_ids, device_logprobs, t_disp)
 
         def drain(p):
-            keys, n, d_ids, d_lp = p
+            keys, n, d_ids, d_lp, t_disp = p
             ids = np.asarray(d_ids)[:n]
             confs = np.exp(np.asarray(d_lp))[:n]
+            # dispatch -> fetch-complete: device decode (+ the overlapped
+            # host work), comparable to the pre-pipelining meter semantics
+            meters.update(decode_time=time.time() - t_disp)
             for key, caps, cfs in zip(keys, ids, confs):
                 res = [{"caption": self.tokenizer.decode(
                             c.tolist(), skip_special_tokens=True),
@@ -703,8 +710,8 @@ class CaptionUniPipeline(UniPipeline):
                                   put(tt[:, A:]), put(seq_len))
                 if pending is not None:
                     yield from drain(pending)
-                pending = (list(batch["key"]), n, d_ids, d_lp)
-                meters.update(decode_time=time.time() - t0)
+                pending = (list(batch["key"]), n, d_ids, d_lp, t0)
+                meters.update(prep_time=time.time() - t0)
             n_done += 1
             if self.cfg.test_max_iter is not None \
                     and n_done >= int(self.cfg.test_max_iter):
