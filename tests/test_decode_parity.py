@@ -220,3 +220,22 @@ def test_int8_kv_cache_quant_close_to_exact():
     out_b = D.generate(params, img, od, None, sl,
                        cfg.replace(kv_cache_quant="int8"), opts_b)
     assert np.asarray(out_b["ids"]).shape == (B, 2, cfg.max_seq_a_len)
+
+
+def test_exact_top_k_matches_lax():
+    """exact_top_k (two-stage chunked, the beam-search hot op) ==
+    lax.top_k including tie-breaking toward smaller indices."""
+    from vitcap_tpu.models.decode import exact_top_k
+    rs = np.random.RandomState(0)
+    for shape, k in (((8, 9157), 6), ((4, 1000), 4), ((2, 513), 3),
+                     ((3, 512), 2), ((1, 100), 5)):
+        x = jnp.asarray(rs.randn(*shape), jnp.float32)
+        v1, i1 = jax.lax.top_k(x, k)
+        v2, i2 = exact_top_k(x, k)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    # exact ties across chunk boundaries
+    x = jnp.zeros((2, 2048)).at[:, [5, 600, 601, 1500]].set(3.0)
+    v1, i1 = jax.lax.top_k(x, 5)
+    v2, i2 = exact_top_k(x, 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
