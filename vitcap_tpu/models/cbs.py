@@ -287,7 +287,13 @@ def constrained_beam_search(params, images: jnp.ndarray, od_ids: jnp.ndarray,
         # (s_from, beam) over vocab, add running lp, flatten, topk nb
         allow = fsm_f.transpose(0, 2, 1, 3)[:, :, :, None, :]  # (B,St,Sf,1,V)
         masked = jnp.where(allow, logp[:, None], STEP_MASK)    # (B,St,Sf,nb,V)
-        top_lp, top_tok = jax.lax.top_k(masked, nb)     # per-node beams
+        # chunked exact top-k (decode.exact_top_k): lax.top_k sorts each of
+        # the B*S*S*nb vocab-wide rows (~ms/step at real sizes)
+        from .decode import exact_top_k
+        lead = masked.shape[:-1]
+        top_lp, top_tok = exact_top_k(masked.reshape(-1, V), nb)
+        top_lp = top_lp.reshape(*lead, nb)
+        top_tok = top_tok.reshape(*lead, nb)
         summed = top_lp + last_lp[:, None, :, :, None]  # (B,S_to,S_from,nb,nb)
         flat = summed.reshape(B, S, S * nb * nb)
         new_lp, idx = jax.lax.top_k(flat, nb)           # (B, S_to, nb)
