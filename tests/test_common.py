@@ -108,6 +108,32 @@ def test_orbax_checkpoint_backend(tmp_path):
     assert load_state(ck3.last_checkpoint())["iteration"] == 5
 
 
+def test_nan_context_snapshot_keeps_resume_chain(tmp_path):
+    """save_tagged (the NaN_context path, reference trainer.py:134-137):
+    the diagnostic artifact is written but `last_checkpoint` still points
+    at the last healthy snapshot, so resume never sees a post-NaN
+    state."""
+    import numpy as np
+    import os.path as op
+    from vitcap_tpu.solver.checkpointing import Checkpointer, load_state
+
+    good = {"params": {"w": np.ones((2, 2), np.float32)}}
+    bad = {"params": {"w": np.full((2, 2), np.nan, np.float32)}}
+    ck = Checkpointer(str(tmp_path / "snap"))
+    healthy = ck.save(10, good)
+    tagged = ck.save_tagged("NaN_context_0", 17, bad)
+    assert op.isfile(tagged) and "NaN_context_0" in tagged
+    # the resume chain is untouched
+    assert ck.last_checkpoint() == healthy
+    back = load_state(ck.last_checkpoint())
+    assert int(back["iteration"]) == 10
+    assert np.isfinite(back["params"]["w"]).all()
+    # the tagged artifact still carries the NaN state for post-mortem
+    diag = load_state(tagged)
+    assert int(diag["iteration"]) == 17
+    assert np.isnan(diag["params"]["w"]).all()
+
+
 def test_acquire_lock_and_remove_dir(tmp_path):
     """acquire_lock context manager + ensure_remove_dir (reference
     acquireLock / ensure_remove_dir)."""

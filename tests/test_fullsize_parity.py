@@ -1,0 +1,242 @@
+"""FULL-SIZE golden parity gate: the flagship ViT-B/16-384 geometry vs the
+reference torch implementation with random weights.
+
+Every other parity test runs tiny models (hidden 32, vocab 128); this one
+runs the REAL geometry of the live recipe
+(/root/reference/yaml/ViTCAP_Captioning_batch-size_512_encoder_vit_base_
+patch16_384_lr_1e-4_iter_60_vitbfocal20_bert_tokenizer_tags_ENC-DEC_
+multiplier_0.1.yaml):
+
+    ViT-B/16 at 384^2 -> 577 visual tokens, hidden 768 / 12 heads,
+    12 trunk blocks + 4-block tag fork + 4 decoder layers,
+    vocab 30522, topk=50, max_seq_length=70, max_seq_a_length=20.
+
+NOTE the YAML (lines 43-44) sets max_seq_a_length=20, overriding the
+pipeline default of 40 (…bertemb.py:197): od_len = 70-20 = 50 == topk, so
+the reference's tag-tail overwrite (modeling_bert.py:1470) exactly fills
+the od region.  (With the seq_a=40 default the reference itself crashes at
+decode — see the assert in decode.build_context_embeddings.)
+
+Shape-dependent behavior only this geometry exercises: bicubic pos-embed
+interpolation at the 24x24 grid, head_dim=64 attention transposes, the
+30522-way LM head, topk=50 concept injection at the live od layout, and
+real-magnitude f32 numerics through 20 transformer blocks.
+
+The reference model here gets its tag-logit bias shifted down by 10 so
+sigmoid(tag_logit) < 0.2 everywhere -> topk_len == 0 -> the reference
+takes its TRAIN-branch tag attachment (modeling_bert.py:1433-1470, plain
+tied-weight lookup) at every decode step, which is also the branch a
+real TRAINED checkpoint takes (typically 10-30 tags above conf 0.2, and
+0+20 <= curr_len+1+od_len always).  Random weights without the shift give
+topk_len≈50, which flips the reference between its two branches MID-DECODE
+(50+20 <= curr_len+51 only once curr_len >= 19) — behavior no real
+checkpoint exhibits and which a static jit program correctly refuses to
+replicate.  Our side uses tag_attach='raw' (the matching semantics).
+
+Runtime: ~10-20 min single-core CPU (the reference re-runs the full
+vision stack per decode step).  Marked `slow`; run the fast tier with
+`pytest -m "not slow"`.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitcap_tpu.models.config import ModelConfig
+from vitcap_tpu.models import vitcap as M
+from vitcap_tpu.models import decode as D
+from vitcap_tpu.solver.checkpoint_bridge import load_params_from_torch
+
+import reference_harness as RH
+
+pytestmark = pytest.mark.slow
+
+# the flagship live-YAML geometry (ModelConfig defaults ARE that recipe);
+# dropout off for deterministic train-forward comparison
+FCFG = ModelConfig(hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                   tag_loss_weight=1.0)
+OD_LEN = FCFG.max_seq_len - FCFG.max_seq_a_len      # 50 == topk
+
+
+@pytest.fixture(scope="module")
+def ref_and_params():
+    import torch
+    model, image_encoder, _ = RH.make_tiny_ref_vitcap(FCFG, seed=11)
+    # pin the reference into its train-branch tag attachment (see module
+    # docstring): all tag sigmoids < 0.2 -> topk_len == 0
+    with torch.no_grad():
+        model.bert.tag_logit.bias -= 10.0
+    sd = RH.combined_state_dict(model, image_encoder)
+    sd_np = {k: v.detach().numpy() for k, v in sd.items()}
+    params = M.init_params(jax.random.PRNGKey(0), FCFG)
+    params, report = load_params_from_torch(params, sd_np)
+    assert not report["shape_mismatch"], report["shape_mismatch"]
+    assert not report["missing"], report["missing"]
+    del sd, sd_np
+    return model, image_encoder, params
+
+
+def _decode_batch(rng, B, gen_len):
+    image = rng.randn(B, FCFG.img_size, FCFG.img_size, 3).astype(np.float32)
+    od_ids = rng.randint(1000, FCFG.vocab_size,
+                         size=(B, OD_LEN)).astype(np.int32)
+    n_od = np.array([OD_LEN, OD_LEN - 7], dtype=np.int32)[:B]
+    seq_len = gen_len + n_od
+    for b in range(B):
+        od_ids[b, n_od[b]:] = 0
+    return image, od_ids, seq_len
+
+
+def _ref_generate(model, image_encoder, image, od_ids, seq_len, num_beams,
+                  gen_len):
+    import torch
+    B = image.shape[0]
+    T = gen_len + OD_LEN
+    tm = np.array(M.seq2seq_text_mask(
+        jnp.full((B,), gen_len), jnp.asarray(seq_len),
+        FCFG.replace(max_seq_len=T, max_seq_a_len=gen_len)))
+    V = FCFG.num_visual_tokens
+    full = np.zeros((B, T + V, T + V), dtype=np.float32)
+    full[:, :T, :T] = tm
+    full[:, :T, T:] = 1.0
+    full[:, T:, T:] = 1.0
+
+    input_ids = np.zeros((B, T), dtype=np.int64)
+    input_ids[:, gen_len:] = od_ids
+    token_type_ids = np.zeros((B, T), dtype=np.int64)
+    token_type_ids[:, gen_len:] = 1
+
+    with torch.no_grad():
+        img_feats = image_encoder(
+            torch.from_numpy(image.transpose(0, 3, 1, 2)))
+        out = model.generate(
+            img_feats=img_feats,
+            attention_mask=torch.from_numpy(full),
+            masked_pos=torch.zeros(B, T, dtype=torch.long),
+            token_type_ids=torch.from_numpy(token_type_ids),
+            input_ids=torch.from_numpy(input_ids),
+            is_decode=True,
+            do_sample=False,
+            bos_token_id=FCFG.cls_token_id,
+            pad_token_id=FCFG.pad_token_id,
+            eos_token_ids=[FCFG.sep_token_id],
+            mask_token_id=FCFG.mask_token_id,
+            add_od_labels=True,
+            od_labels_start_posid=FCFG.max_seq_a_len,
+            max_length=gen_len,
+            num_beams=num_beams,
+            temperature=1.0,
+            top_k=0,
+            top_p=1.0,
+            repetition_penalty=1,
+            length_penalty=1,
+            num_return_sequences=1,
+            num_keep_best=1,
+        )
+    return out[0].numpy(), out[1].numpy()
+
+
+def _my_generate(params, image, od_ids, seq_len, num_beams, gen_len):
+    opts = D.DecodeOptions(max_length=gen_len, num_beams=num_beams,
+                           od_labels_start_posid=FCFG.max_seq_a_len)
+    tt = np.ones_like(od_ids)
+    out = D.generate(params, jnp.asarray(image), jnp.asarray(od_ids),
+                     jnp.asarray(tt), jnp.asarray(seq_len), FCFG, opts)
+    return np.array(out["ids"]), np.array(out["logprobs"])
+
+
+def test_fullsize_greedy_parity(ref_and_params):
+    """Greedy ids exact at the flagship geometry (gen_len=8 to bound the
+    reference's per-step full-stack re-encode on CPU; every step runs the
+    complete 577-token/70-slot/topk-50 geometry regardless)."""
+    model, image_encoder, params = ref_and_params
+    image, od_ids, seq_len = _decode_batch(np.random.RandomState(3), B=2,
+                                           gen_len=8)
+    ref_ids, ref_lp = _ref_generate(model, image_encoder, image, od_ids,
+                                    seq_len, num_beams=1, gen_len=8)
+    my_ids, my_lp = _my_generate(params, image, od_ids, seq_len,
+                                 num_beams=1, gen_len=8)
+    np.testing.assert_array_equal(my_ids, ref_ids)
+    np.testing.assert_allclose(my_lp, ref_lp, rtol=1e-3, atol=1e-4)
+
+
+def test_fullsize_beam_parity(ref_and_params):
+    """Beam-3 ids exact at the flagship geometry (B=1, gen_len=5: the
+    reference runs num_beams full-stack forwards per step on CPU)."""
+    model, image_encoder, params = ref_and_params
+    image, od_ids, seq_len = _decode_batch(np.random.RandomState(5), B=1,
+                                           gen_len=5)
+    ref_ids, ref_lp = _ref_generate(model, image_encoder, image, od_ids,
+                                    seq_len, num_beams=3, gen_len=5)
+    my_ids, my_lp = _my_generate(params, image, od_ids, seq_len,
+                                 num_beams=3, gen_len=5)
+    np.testing.assert_array_equal(my_ids, ref_ids)
+    np.testing.assert_allclose(my_lp, ref_lp, rtol=1e-3, atol=1e-4)
+
+
+def test_fullsize_train_forward_parity(ref_and_params):
+    """Masked-LM loss, tag loss, and logits close at the full geometry and
+    the LIVE text layout (seq 70 / seq_a 20 / topk 50): the tag overwrite
+    fills exactly the od region."""
+    import torch
+    model, image_encoder, params = ref_and_params
+    rng = np.random.RandomState(7)
+    B, T, A = 2, FCFG.max_seq_len, FCFG.max_seq_a_len
+    image = rng.randn(B, FCFG.img_size, FCFG.img_size, 3).astype(np.float32)
+    input_ids = rng.randint(1000, FCFG.vocab_size, size=(B, T)).astype(
+        np.int32)
+    seq_a_len = np.array([17, 20], dtype=np.int32)
+    seq_len = np.array([T - 5, T], dtype=np.int32)
+    token_type_ids = np.zeros((B, T), dtype=np.int32)
+    for b in range(B):
+        input_ids[b, seq_a_len[b]:A] = 0
+        input_ids[b, seq_len[b]:] = 0
+        token_type_ids[b, A:seq_len[b]] = 1
+    masked_pos = np.zeros((B, T), dtype=np.int32)
+    masked_pos[0, [1, 4]] = 1
+    masked_pos[1, [2, 9, 15]] = 1
+    masked_ids = np.zeros((B, FCFG.max_masked_tokens), dtype=np.int32)
+    masked_ids[0, :2] = [1017, 2023]
+    masked_ids[1, :3] = [1909, 3041, 4077]
+    label = (rng.rand(B, FCFG.tag_vocab_size) < 0.002).astype(np.float32)
+    batch = dict(image=image, input_ids=input_ids,
+                 token_type_ids=token_type_ids, seq_a_len=seq_a_len,
+                 seq_len=seq_len, masked_pos=masked_pos,
+                 masked_ids=masked_ids, label=label)
+
+    tm = np.array(M.seq2seq_text_mask(jnp.asarray(seq_a_len),
+                                      jnp.asarray(seq_len), FCFG))
+    V = FCFG.num_visual_tokens
+    full = np.zeros((B, T + V, T + V), dtype=np.float32)
+    full[:, :T, :T] = tm
+    full[:, :T, T:] = 1.0
+    full[:, T:, T:] = 1.0
+    with torch.no_grad():
+        img_feats = image_encoder(
+            torch.from_numpy(image.transpose(0, 3, 1, 2)))
+        ref = model.encode_forward(
+            input_ids=torch.from_numpy(input_ids).long(),
+            img_feats=img_feats,
+            attention_mask=torch.from_numpy(full),
+            label=torch.from_numpy(label),
+            masked_pos=torch.from_numpy(masked_pos).long(),
+            masked_ids=torch.from_numpy(masked_ids).long(),
+            token_type_ids=torch.from_numpy(token_type_ids).long(),
+            is_training=True,
+            return_dict=True,
+        )
+
+    total, aux = M.forward_train(
+        params, {k: jnp.asarray(v) for k, v in batch.items()}, FCFG,
+        rng=None)
+    np.testing.assert_allclose(
+        float(aux["masked_loss"]), float(ref["masked_loss"]),
+        rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        float(aux["tag_loss"]), float(ref["tag_loss"]), rtol=5e-4, atol=5e-4)
+    w = np.array(aux["masked_weight"]).reshape(-1) > 0
+    mine = np.array(aux["class_logits"]).reshape(-1, FCFG.vocab_size)[w]
+    np.testing.assert_allclose(mine, ref["class_logits"].numpy(),
+                               rtol=5e-3, atol=2e-3)

@@ -56,6 +56,7 @@ class DecodeOptions:
     top_k: int = 0
     top_p: float = 1.0
     length_penalty: float = 1.0
+    repetition_penalty: float = 1.0
     num_return_sequences: int = 1
     od_labels_start_posid: int = 20
 
@@ -127,7 +128,18 @@ def build_context_embeddings(params: Params, images: jnp.ndarray,
                              od_token_type_ids, cfg.bert_layer_norm_eps,
                              dtype=dtype)
     topk = cfg.topk
-    assert topk <= od_len, "concept slots must fit in the od region"
+    # The flagship recipe satisfies this: the live YAML
+    # (ViTCAP_Captioning_…multiplier_0.1.yaml:43-44) sets
+    # max_seq_length=70 / max_seq_a_length=20, so od_len = 50 = topk.
+    # With the PIPELINE-DEFAULT seq_a=40 (od_len=30 < topk=50) the
+    # reference itself crashes at decode time — its tail overwrite
+    # `embedding_output[:, -topk:] = tag_embedding`
+    # (modeling_bert.py:1470/1489) assigns a 50-wide tensor into the
+    # 30-wide od region — so we refuse the geometry up front instead.
+    assert topk <= od_len, (
+        f"topk={topk} concept slots must fit in the od region "
+        f"(od_len={od_len} = max_seq_length - max_seq_a_length); the live "
+        f"recipe uses 70-20=50")
     tag_emb = _tag_embeddings(params, enc["pred_topk"], cfg)
     od_emb = od_emb.at[:, -topk:].set(tag_emb)
 
@@ -551,7 +563,13 @@ def exact_top_k(x: jnp.ndarray, k: int, chunk: int = 512
     ties broken toward smaller indices) but touches the full array once
     instead of sorting it: lax.top_k over the beam search's (B, nb*V~91k)
     candidate row measures 1.28 ms/step on v5e; this runs at the reduce's
-    bandwidth."""
+    bandwidth.
+
+    Precondition: every row must contain >= k FINITE values.  Selected
+    elements are masked by writing -inf, so a row whose top-k reaches
+    into pre-existing -inf entries returns duplicate indices where
+    lax.top_k would return distinct ascending ones.  All in-repo callers
+    mask with finite sentinels (-1e9/-1e20) and satisfy this."""
     B, N = x.shape
     C = (N + chunk - 1) // chunk
     pad = C * chunk - N
@@ -571,6 +589,26 @@ def exact_top_k(x: jnp.ndarray, k: int, chunk: int = 512
         xc = xc.at[bidx, c].set(row)
         cmax = cmax.at[bidx, c].set(jnp.max(row, axis=-1))
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
+def apply_repetition_penalty(logits: jnp.ndarray, seen: jnp.ndarray,
+                             penalty: float) -> jnp.ndarray:
+    """CTRL-style repetition penalty (reference modeling_utils.py:797-807
+    no-beam, :918-926 beam): for every vocab id already present in the
+    row's input_ids, divide positive logits by `penalty` and multiply
+    negative ones.  `seen` is the (B, V) bool membership mask of
+    generated-so-far ids (incl. BOS, and PAD once a row finishes —
+    exactly the reference's `set(input_ids[i].tolist())`)."""
+    pen = jnp.where(logits < 0, logits * penalty, logits / penalty)
+    return jnp.where(seen, pen, logits)
+
+
+def _seen_init(Bb: int, V: int, first_token: int) -> jnp.ndarray:
+    return jnp.zeros((Bb, V), bool).at[:, first_token].set(True)
+
+
+def _seen_add(seen: jnp.ndarray, tok: jnp.ndarray) -> jnp.ndarray:
+    return seen.at[jnp.arange(seen.shape[0]), tok].set(True)
 
 
 # ---------------------------------------------------------------------------
@@ -625,18 +663,23 @@ def generate_greedy(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
     init_caches, engine_step, _ = _decode_engine(params, ctx, cfg, opts, Bb)
     caches = init_caches()
 
+    rep_pen = float(opts.repetition_penalty)
     tokens = jnp.full((Bb, A), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.cls_token_id)
     unfinished = jnp.ones((Bb,), jnp.float32)
+    seen0 = (_seen_init(Bb, cfg.vocab_size, cfg.cls_token_id)
+             if rep_pen != 1.0 else jnp.zeros((Bb, 1), bool))
     carry = (tokens, unfinished, jnp.zeros((Bb,)), jnp.zeros((Bb,)),
-             caches,
+             caches, seen0,
              rng if rng is not None else jax.random.PRNGKey(0))
 
     def step(carry, t):
-        tokens, unfin, sum_lp, cnt, caches, r = carry
+        tokens, unfin, sum_lp, cnt, caches, seen, r = carry
         prev = jnp.take_along_axis(tokens, (t - 1)[None, None].repeat(Bb, 0),
                                    axis=1)[:, 0]
         logits, caches = engine_step(caches, prev, t)
+        if rep_pen != 1.0:
+            logits = apply_repetition_penalty(logits, seen, rep_pen)
         if opts.do_sample:
             r, rs = jax.random.split(r)
             lg = logits / opts.temperature if opts.temperature != 1.0 \
@@ -654,7 +697,9 @@ def generate_greedy(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
         sum_lp = sum_lp + score * unfin
         cnt = cnt + unfin
         unfin = unfin * (add != cfg.sep_token_id).astype(jnp.float32)
-        return (tokens, unfin, sum_lp, cnt, caches, r), (score, nxt)
+        if rep_pen != 1.0:
+            seen = _seen_add(seen, add)
+        return (tokens, unfin, sum_lp, cnt, caches, seen, r), (score, nxt)
 
     (tokens, unfin, sum_lp, cnt, *_), (step_scores, raw_tokens) = \
         jax.lax.scan(step, carry, jnp.arange(1, A))
@@ -680,15 +725,60 @@ def generate_greedy(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
 # beam search
 # ---------------------------------------------------------------------------
 
+def sample_beam_candidates(logits: jnp.ndarray, beam_scores: jnp.ndarray,
+                           rng: jax.Array, nb: int, opts: DecodeOptions
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sampled-beam candidate draw (reference modeling_utils.py:948-966).
+
+    Per beam row: temperature + top-k/top-p filter (min_tokens_to_keep=2),
+    then TOPN_PER_BEAM=2 words drawn WITHOUT replacement
+    (torch.multinomial -> Gumbel-top-2 here: identical distribution,
+    different RNG stream); candidate score = that beam's filtered
+    log-softmax at the word + its beam score.
+
+    Returns (cand_score, cand_idx) of shape (B, 2*nb).  cand_idx encodes
+    `word + V*beam` EXACTLY like the reference, i.e. with its scrambled
+    attribution: words are laid out interleaved [b0d0,b0d1,b1d0,..] but
+    the added beam offsets are TILED [0,V,..,(nb-1)V,0,V,..]
+    (modeling_utils.py:959-963), so for nb>1 candidate j extends beam
+    (j%nb)'s prefix while carrying beam (j//2)'s score.  Replicated
+    bit-for-bit because it is the reference's observable behavior."""
+    Bb, V = logits.shape
+    B = Bb // nb
+    lg = logits / opts.temperature if opts.temperature != 1.0 else logits
+    lg = top_k_top_p_filtering(lg, opts.top_k, opts.top_p,
+                               min_tokens_to_keep=2)           # (Bb, V)
+    pert = lg + jax.random.gumbel(rng, lg.shape, jnp.float32)
+    _, draws = jax.lax.top_k(pert, 2)                          # (Bb, 2)
+    step_lp = jax.nn.log_softmax(lg, axis=-1)
+    dscore = jnp.take_along_axis(step_lp, draws, axis=1) \
+        + beam_scores.reshape(Bb)[:, None]                     # (Bb, 2)
+    words = draws.reshape(B, 2 * nb)
+    offs = jnp.tile(jnp.arange(nb, dtype=words.dtype) * V, 2)[None]
+    return dscore.reshape(B, 2 * nb), words + offs
+
 def generate_beam(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
                   od_token_type_ids: Optional[jnp.ndarray],
                   seq_len: jnp.ndarray, cfg: ModelConfig,
-                  opts: DecodeOptions) -> Dict[str, jnp.ndarray]:
-    """Greedy beam search with exact reference semantics
+                  opts: DecodeOptions,
+                  rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+    """Beam search with exact reference semantics
     (modeling_utils.py:888-1101): TOPN_PER_BEAM=2 candidates per beam; EOS
     candidates (and, at the final step, ALL candidates) go to a
     num_keep_best-sized hypothesis store scored sum_logprob/len^penalty;
-    done batches freeze."""
+    done batches freeze.
+
+    do_sample=True follows the reference's sampled-beam branch
+    (:948-966): per-beam temperature + top-k/top-p filter
+    (min_tokens_to_keep=2), then 2 words drawn per beam WITHOUT
+    replacement (torch.multinomial -> Gumbel-top-2 here, same
+    distribution, different RNG stream).  NOTE the reference then
+    attributes candidates to beams with a TILED offset vector
+    ([0,V,..,(nb-1)V] repeated) while the drawn words are laid out
+    INTERLEAVED ([b0d0,b0d1,b1d0,...]): for nb>1 a word drawn from beam
+    i's distribution extends beam (j%nb)'s prefix (j = its slot) while
+    keeping beam i's score.  We replicate that scramble bit-for-bit —
+    it is the observable behavior — rather than "fixing" it."""
     A = opts.max_length
     nb = opts.num_beams
     K = opts.num_keep_best
@@ -702,6 +792,7 @@ def generate_beam(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
         params, ctx, cfg, opts, Bb)
     caches = init_caches()
 
+    rep_pen = float(opts.repetition_penalty)
     tokens = jnp.full((B, nb, A), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, :, 0].set(cfg.cls_token_id)
     beam_scores = jnp.full((B, nb), NEG_INF).at[:, 0].set(0.0)
@@ -723,6 +814,12 @@ def generate_beam(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
         the reference's strict `>` replacement test) instead of 2nb
         sequential scatter rounds per step."""
         hs, ht, hl, hn = store
+        # NB: sequential insert-replace (a K-min replacement selection)
+        # yields the K best of the union regardless of candidate order,
+        # so this also covers the UNSORTED candidates of the sampling
+        # branch; the stable sort keeps the reference's tie rules
+        # (existing entries win ties via strict `>`; earlier candidates
+        # win candidate-candidate ties).
         norm = cand_score / (cand_len.astype(jnp.float32) ** lp_pow)
         norm = jnp.where(cand_take, norm, NEG_INF)
         all_s = jnp.concatenate([hs, norm], axis=1)        # (B, K+2nb)
@@ -736,27 +833,39 @@ def generate_beam(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
         hn = jnp.minimum(hn + jnp.sum(cand_take, axis=1), K)
         return hs, ht, hl, hn
 
+    seen0 = (_seen_init(Bb, cfg.vocab_size, cfg.cls_token_id)
+             if rep_pen != 1.0 else jnp.zeros((Bb, 1), bool))
     carry = (tokens, beam_scores, hyp_scores, hyp_tokens, hyp_len, hyp_n,
-             done, caches)
+             done, caches, seen0,
+             rng if rng is not None else jax.random.PRNGKey(0))
 
     def step(carry, t):
-        (tokens, beam_scores, hs, ht, hl, hn, done, caches) = carry
+        (tokens, beam_scores, hs, ht, hl, hn, done, caches, seen, r) = carry
         prev = jax.lax.dynamic_index_in_dim(
             tokens, t - 1, axis=2, keepdims=False).reshape(Bb)
         logits, caches = engine_step(caches, prev, t)
-        logp = jax.nn.log_softmax(logits, axis=-1)       # (Bb, V)
-        V = logp.shape[-1]
-        total = logp.reshape(B, nb, V) + beam_scores[..., None]
-        flat = total.reshape(B, nb * V)
+        if rep_pen != 1.0:
+            logits = apply_repetition_penalty(logits, seen, rep_pen)
+        V = logits.shape[-1]
         n_cand = 2 * nb
-        cand_score, cand_idx = exact_top_k(flat, n_cand)     # (B, 2nb) desc
+        if opts.do_sample:
+            r, rs = jax.random.split(r)
+            cand_score, cand_idx = sample_beam_candidates(
+                logits, beam_scores, rs, nb, opts)
+        else:
+            logp = jax.nn.log_softmax(logits, axis=-1)       # (Bb, V)
+            total = logp.reshape(B, nb, V) + beam_scores[..., None]
+            flat = total.reshape(B, nb * V)
+            cand_score, cand_idx = exact_top_k(flat, n_cand)  # (B, 2nb) desc
         cand_beam = cand_idx // V
         cand_word = cand_idx % V
 
         # done check BEFORE this step's insertions (reference order); the
         # reference normalizes by (max_length - 1), not cur_len
-        # (BeamHypotheses.is_done modeling_utils.py:1170-1181)
-        best_possible = cand_score[:, 0] / (float(A - 1) ** lp_pow)
+        # (BeamHypotheses.is_done modeling_utils.py:1170-1181).  Greedy
+        # candidates are sorted desc so max == [:,0]; sampled ones are
+        # unsorted, hence the explicit max (reference takes .max()).
+        best_possible = jnp.max(cand_score, axis=1) / (float(A - 1) ** lp_pow)
         done = done | ((hn >= K) & (best_possible <= jnp.min(hs, axis=-1)))
 
         is_eos = (cand_word == cfg.sep_token_id)
@@ -803,10 +912,16 @@ def generate_beam(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
         # reorder caption caches by beam (small: (Bb, A, H))
         flat_idx = (jnp.arange(B)[:, None] * nb + new_beam).reshape(Bb)
         caches = reorder_caches(caches, flat_idx)
-        return (tokens, beam_scores, hs, ht, hl, hn, done, caches), None
+        if rep_pen != 1.0:
+            # membership masks follow their beam's prefix, then absorb
+            # the appended word (reference reorders input_ids by beam_idx
+            # and concatenates beam_words, :1050-1052)
+            seen = _seen_add(seen[flat_idx], new_word.reshape(Bb))
+        return (tokens, beam_scores, hs, ht, hl, hn, done, caches, seen,
+                r), None
 
     carry, _ = jax.lax.scan(step, carry, jnp.arange(1, A))
-    (_, _, hs, ht, hl, hn, _, _) = carry
+    (_, _, hs, ht, hl, hn, _, _, _, _) = carry
 
     # final selection: top-K hyps by normalized score; append EOS
     order = jnp.argsort(-hs, axis=-1)[:, :K]
@@ -832,7 +947,7 @@ def generate(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
     """Dispatch like the reference `generate` (modeling_bert.py:928-1059)."""
     if opts.num_beams > 1:
         return generate_beam(params, images, od_ids, od_token_type_ids,
-                             seq_len, cfg, opts)
+                             seq_len, cfg, opts, rng)
     return generate_greedy(params, images, od_ids, od_token_type_ids,
                            seq_len, cfg, opts, rng)
 

@@ -58,6 +58,20 @@ def barrier(name: str = "barrier") -> None:
         multihost_utils.sync_global_devices(name)
 
 
+def any_process(flag: bool) -> bool:
+    """Cross-process OR of a host-side bool (single-process: identity).
+    Used to make preemption shutdown collective: every process must agree
+    to stop at the same step boundary, else peers hang in the next
+    step's gradient psum waiting for an exited rank."""
+    import jax
+    if jax.process_count() == 1:
+        return flag
+    import numpy as np
+    from jax.experimental import multihost_utils
+    return bool(np.asarray(
+        multihost_utils.process_allgather(np.array([flag]))).any())
+
+
 def all_gather_host(values) -> list:
     """Gather small host values from every process (reference
     concat_all_gather analogue for python objects)."""

@@ -54,6 +54,9 @@ class CaptionUniPipeline(UniPipeline):
             "temperature": 1.0,
             "top_k": 0,
             "top_p": 1.0,
+            "do_sample": False,
+            "repetition_penalty": 1.0,
+            "length_penalty": 1.0,
             "gradient_clip": 1.0,
             "optimizer_type": "MAdamW",
             "bias_no_weight_decay": True,
@@ -348,6 +351,10 @@ class CaptionUniPipeline(UniPipeline):
         iteration = start_iter
         t_end = time.time()
         log_step = int(self.cfg.log_step)
+        # finiteness-probe cadence; defaults to log_step (the reference
+        # checks every iteration, trainer.py:134 — here each check costs
+        # a host sync, so the cadence is a config knob)
+        nan_check_steps = int(self.cfg.get("nan_check_steps") or log_step)
         snapshot_steps = int(self.cfg.snapshot_steps)
         gen_tag_ratio = self.cfg.get("gen_tag_ratio")
         if self.cfg.get("gt_tag_train"):
@@ -402,10 +409,25 @@ class CaptionUniPipeline(UniPipeline):
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()
                     tracing = False
+                if iteration % nan_check_steps == 0 \
+                        and iteration % log_step != 0 \
+                        and iteration != self.max_iter:
+                    # opt-in denser finiteness probe between log points
+                    # (each check is a host fetch / device sync)
+                    if not np.isfinite(float(metrics["loss"])):
+                        ckpt.save_tagged(f"NaN_context_{self.mpi_rank}",
+                                         iteration,
+                                         self._state_dict(state))
+                        raise RuntimeError(f"NaN loss at iter {iteration}")
                 if iteration % log_step == 0 or iteration == self.max_iter:
                     m = {k: float(v) for k, v in metrics.items()}
                     if not np.isfinite(m["loss"]):
-                        ckpt.save(iteration, self._state_dict(state))
+                        # tagged artifact; last_checkpoint keeps pointing
+                        # at the last healthy snapshot (reference
+                        # trainer.py:134-137 NaN_context semantics)
+                        ckpt.save_tagged(f"NaN_context_{self.mpi_rank}",
+                                         iteration,
+                                         self._state_dict(state))
                         raise RuntimeError(f"NaN loss at iter {iteration}: {m}")
                     step_time = time.time() - t_end
                     meters.update(loss=m["loss"], data=data_time,
@@ -419,7 +441,26 @@ class CaptionUniPipeline(UniPipeline):
                         and iteration != self.max_iter and self.mpi_rank == 0:
                     ckpt.save(iteration, self._state_dict(state))
                 t_end = time.time()
-                if preempted["flag"] and iteration < self.max_iter:
+                # multi-process: the stop decision must be COLLECTIVE (a
+                # peer that exits mid-run leaves the others hanging in the
+                # next step's grad psum), so sync the flag on a cadence
+                # and stop only when every process has seen it.  TPU
+                # maintenance SIGTERMs are slice-wide, so normally all
+                # processes raise the flag within one sync window.
+                stop = preempted["flag"]
+                if self.mpi_size > 1:
+                    sync_every = int(self.cfg.get("preempt_sync_steps")
+                                     or log_step)
+                    # the allgather is itself collective, so it runs at
+                    # the SAME iterations on every process; a locally
+                    # caught SIGTERM defers to the next sync boundary
+                    if iteration % sync_every == 0:
+                        from ..parallel.distributed import any_process
+                        stop = any_process(stop)
+                        preempted["flag"] = stop
+                    else:
+                        stop = False
+                if stop and iteration < self.max_iter:
                     if self.mpi_rank == 0:
                         ckpt.save(iteration, self._state_dict(state))
                         ckpt.wait_until_finished()
@@ -575,11 +616,12 @@ class CaptionUniPipeline(UniPipeline):
             max_length=int(self.cfg.max_gen_length),
             num_beams=int(self.cfg.num_beams),
             num_keep_best=1,
-            do_sample=False,
+            do_sample=bool(self.cfg.do_sample),
             temperature=float(self.cfg.temperature),
             top_k=int(self.cfg.top_k),
             top_p=float(self.cfg.top_p),
-            length_penalty=1.0,
+            length_penalty=float(self.cfg.length_penalty),
+            repetition_penalty=float(self.cfg.repetition_penalty),
             od_labels_start_posid=int(self.cfg.max_seq_a_length))
 
     def load_test_model(self, model_file: str):
@@ -642,9 +684,12 @@ class CaptionUniPipeline(UniPipeline):
             b_shard = batch_sharding(mesh)
 
         @partial(jax.jit, static_argnums=())
-        def run(params, images, od_ids, tt, seq_len):
-            out = D.generate(params, images, od_ids, tt, seq_len, cfg, opts)
+        def run(params, images, od_ids, tt, seq_len, rng):
+            out = D.generate(params, images, od_ids, tt, seq_len, cfg, opts,
+                             rng=rng)
             return out["ids"], out["logprobs"]
+
+        pred_rng = jax.random.PRNGKey(int(self.cfg.random_seed) + 7)
 
         B = int(self.cfg.test_batch_size)
         n_done = 0
@@ -659,9 +704,12 @@ class CaptionUniPipeline(UniPipeline):
             keys, n, d_ids, d_lp, t_disp = p
             ids = np.asarray(d_ids)[:n]
             confs = np.exp(np.asarray(d_lp))[:n]
-            # dispatch -> fetch-complete: device decode (+ the overlapped
-            # host work), comparable to the pre-pipelining meter semantics
-            meters.update(decode_time=time.time() - t_disp)
+            # dispatch -> fetch-complete: device decode PLUS the
+            # overlapped host prep/dispatch of the next batch, hence the
+            # meter is named pipeline_time, not decode_time — per-batch
+            # pure device decode is not observable without breaking the
+            # one-batch software pipeline (jax dispatch is async)
+            meters.update(pipeline_time=time.time() - t_disp)
             for key, caps, cfs in zip(keys, ids, confs):
                 res = [{"caption": self.tokenizer.decode(
                             c.tolist(), skip_special_tokens=True),
@@ -706,8 +754,9 @@ class CaptionUniPipeline(UniPipeline):
                     put = lambda a: jax.device_put(jnp.asarray(a), b_shard)
                 else:
                     put = jnp.asarray
+                pred_rng, sub = jax.random.split(pred_rng)
                 d_ids, d_lp = run(params, put(images), put(od_ids),
-                                  put(tt[:, A:]), put(seq_len))
+                                  put(tt[:, A:]), put(seq_len), sub)
                 if pending is not None:
                     yield from drain(pending)
                 pending = (list(batch["key"]), n, d_ids, d_lp, t0)

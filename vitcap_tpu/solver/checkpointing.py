@@ -100,6 +100,24 @@ class Checkpointer:
         logging.info("saved %s", path)
         return path
 
+    def save_tagged(self, tag: str, iteration: int,
+                    state: Dict[str, Any]) -> str:
+        """Diagnostic snapshot (e.g. `NaN_context_<rank>`, reference
+        trainer.py:134-137) that does NOT advance `last_checkpoint`:
+        resume keeps pointing at the last healthy snapshot instead of a
+        post-NaN state."""
+        suffix = ".orbax" if self.backend == "orbax" else ".ckpt"
+        path = op.join(self.save_dir, f"{tag}{suffix}")
+        full = dict(state, iteration=np.int64(iteration))
+        if self._orbax is not None:
+            self._orbax.save(op.abspath(path), full, force=True)
+            if not self.async_save:
+                self._orbax.wait_until_finished()
+        else:
+            save_state(path, full)
+        logging.info("saved tagged snapshot %s (pointer unchanged)", path)
+        return path
+
     def wait_until_finished(self) -> None:
         """Block on in-flight async orbax saves (call before exit)."""
         if self._orbax is not None and hasattr(self._orbax,
