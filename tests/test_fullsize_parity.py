@@ -67,7 +67,9 @@ def ref_and_params():
     # pin the reference into its train-branch tag attachment (see module
     # docstring): all tag sigmoids < 0.2 -> topk_len == 0
     with torch.no_grad():
-        model.bert.tag_logit.bias -= 10.0
+        # tag head = BertCaptioningHeads -> BertLMPredictionHead whose
+        # final projection bias lives on predictions.bias
+        model.bert.tag_logit.predictions.bias -= 10.0
     sd = RH.combined_state_dict(model, image_encoder)
     sd_np = {k: v.detach().numpy() for k, v in sd.items()}
     params = M.init_params(jax.random.PRNGKey(0), FCFG)

@@ -79,13 +79,28 @@ def test_ciderd_precomputed_df(tmp_path):
 
 
 def test_meteor_sanity():
+    """meteor-1.5 scale: Pen = 0.6*(ch/m)^0.2 — identical sentences score
+    ~0.55-0.7, NOT 1.0 (that is the real jar's behavior; the rank-tuned
+    beta=0.2 keeps a penalty even for a single perfect chunk, which is
+    why published captioning METEOR sits around 0.28-0.30)."""
     gts = {"x": ["the cat sat on the mat"]}
     s, _ = meteor(gts, {"x": ["the cat sat on the mat"]})
-    assert s > 0.95
+    assert 0.5 < s < 0.75, s
     s2, _ = meteor(gts, {"x": ["mat the on sat cat the"]})
     assert s2 < s            # fragmentation penalty
     s3, _ = meteor(gts, {"x": ["dogs run fast"]})
     assert s3 < 0.1
+
+
+def test_meteor_identical_exact_value():
+    """Hand-computed reference value (meteor-1.5 English parameters).
+    'the cat sat on the mat': content words cat/sat/mat (w=.75),
+    function the/on/the (w=.25) -> P=R=1, Fmean=1; m=6 matches, 1 chunk
+    -> Pen = .6*(1/6)^.2; score = 1 - Pen."""
+    expected = 1.0 - 0.6 * (1.0 / 6.0) ** 0.2
+    s, _ = meteor({"x": ["the cat sat on the mat"]},
+                  {"x": ["the cat sat on the mat"]})
+    np.testing.assert_allclose(s, expected, rtol=1e-9)
 
 
 def test_meteor_stem_match():
@@ -93,7 +108,38 @@ def test_meteor_stem_match():
                   {"x": ["the dog running quick"]})
     s_none, _ = meteor({"x": ["the dog runs quickly"]},
                        {"x": ["a cat sleeps"]})
-    assert s > 0.4 > s_none
+    assert s > 0.3 > s_none
+
+
+def test_meteor_synonym_stage():
+    """The shipped synonym table must let 'bicycle' match 'bike' (module
+    weight 0.8) — score strictly between no-match and exact-match."""
+    gts = {"x": ["a man rides a bike"]}
+    s_syn, _ = meteor(gts, {"x": ["a man rides a bicycle"]})
+    s_exact, _ = meteor(gts, {"x": ["a man rides a bike"]})
+    s_miss, _ = meteor(gts, {"x": ["a man rides a donkey"]})
+    assert s_miss < s_syn < s_exact
+
+
+def test_meteor_function_word_discount():
+    """delta=0.75: dropping a content word must cost more than dropping a
+    function word of the same alignment shape."""
+    gts = {"x": ["a dog jumps over the fence"]}
+    s_func, _ = meteor(gts, {"x": ["dog jumps over the fence"]})   # -'a'
+    s_cont, _ = meteor(gts, {"x": ["a dog jumps over the"]})       # -'fence'
+    assert s_cont < s_func
+
+
+def test_meteor_paraphrase_hook(tmp_path):
+    """paraphrase_file: 'phrase<TAB>phrase' pairs activate the 4th
+    matcher stage at weight 0.6."""
+    pf = tmp_path / "para.tsv"
+    pf.write_text("sofa couch\tcouch\nyoung boy\tlittle kid\n")
+    gts = {"x": ["a little kid on a couch"]}
+    s_par, _ = meteor(gts, {"x": ["a young boy on a couch"]},
+                      paraphrase_file=str(pf))
+    s_no, _ = meteor(gts, {"x": ["a young boy on a couch"]})
+    assert s_par > s_no
 
 
 def test_compute_all_metrics_keys():

@@ -114,6 +114,57 @@ def test_full_scst_step(setup):
     assert metrics["cider_score"] is not None
 
 
+def test_scst_step_data_parallel_matches_single(setup):
+    """One DP SCST step on the 8-virtual-device CPU mesh (params
+    replicated, batch/advantages data-sharded like _train_scst) must
+    produce the same updated params as the unsharded step — the SCST
+    analogue of test_solver's DP-vs-single check (the reference SCSTs
+    across WORLD_SIZE=3, …expanding.py:404-478)."""
+    from vitcap_tpu.data.tokenization import BertTokenizer
+    from vitcap_tpu.parallel.mesh import make_mesh, shard_batch, \
+        shard_params
+    from vitcap_tpu.solver.train_step import TrainHyper, init_train_state
+    params, _, _, _ = setup
+    tok = BertTokenizer(
+        "/root/reference/yaml/VILT-L12-H784-uncased_16_384/vocab.txt")
+    hyper = TrainHyper(base_lr=1e-3, max_iter=10)
+    scfg = S.ScstConfig(num_return=2)
+    rng = np.random.RandomState(9)
+    B = 8
+    images = jnp.asarray(rng.randn(B, TCFG.img_size, TCFG.img_size, 3),
+                         jnp.float32)
+    od_ids = jnp.asarray(rng.randint(4, TCFG.vocab_size, (B, OD_LEN)),
+                         jnp.int32)
+    seq_len = jnp.asarray([A + OD_LEN - (i % 3) for i in range(B)])
+    gt = [[f"a dog number {i} runs", "the dog runs"] for i in range(B)]
+
+    results = {}
+    for name, n_dev in (("single", 1), ("dp", 8)):
+        mesh = make_mesh(n_data=n_dev)
+        p = shard_params(jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), params), mesh)
+        state = init_train_state(p, jax.random.PRNGKey(0))
+        decode_fn, grad_fn = S.make_scst_fns(TCFG, OPTS, scfg, hyper)
+        batch = shard_batch({"image": images, "od_ids": od_ids,
+                             "seq_len": seq_len}, mesh)
+        state, metrics = S.scst_train_step(decode_fn, grad_fn, reward=
+                                           S.ScstReward(
+                                               baseline_type="greedy"),
+                                           tokenizer=tok, state=state,
+                                           batch=batch, gt_captions=gt,
+                                           rng=jax.random.PRNGKey(7),
+                                           mesh=mesh)
+        results[name] = (jax.tree_util.tree_map(np.asarray, state.params),
+                         float(metrics["scst_loss"]))
+
+    np.testing.assert_allclose(results["single"][1], results["dp"][1],
+                               rtol=1e-5, atol=1e-6)
+    flat_s = jax.tree_util.tree_leaves(results["single"][0])
+    flat_d = jax.tree_util.tree_leaves(results["dp"][0])
+    for a, b in zip(flat_s, flat_d):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
 def test_gen_tag_ratio_curriculum(setup):
     """ratio=1 -> pure predicted tags (same loss as without the key);
     ratio=0 -> GT tags occupy the leading concept slots."""

@@ -55,7 +55,14 @@ def evaluate_on_coco_caption(predict_tsv: str, gt_file: str,
     gts = {k: gts[k] for k in res}
     gts_tok = ptb_tokenize(gts)
     res_tok = ptb_tokenize(res)
-    result = compute_all_metrics(gts_tok, res_tok)
+    # label the JVM-free reimplementations in the report itself (not just
+    # the docs): METEOR uses a compact shipped synonym table instead of
+    # WordNet, SPICE is rule-based SPICE-lite — absolute values deviate
+    # from the Java tools; BLEU/ROUGE_L/CIDEr are exact reimplementations
+    result = dict(compute_all_metrics(gts_tok, res_tok), _impl={
+        "METEOR": "native meteor-1.5 (exact/stem/compact-synonym/"
+                  "paraphrase-hook; not WordNet-complete)",
+        "SPICE": "SPICE-lite (rule-based scene-graph tuple F1)"})
     outfile = outfile or op.splitext(predict_tsv)[0] + ".report"
     with open(outfile, "w") as fp:
         json.dump(result, fp, indent=2)

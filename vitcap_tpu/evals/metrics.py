@@ -231,65 +231,17 @@ def rouge_l(gts: Dict[str, List[str]], res: Dict[str, List[str]],
 
 
 # ---------------------------------------------------------------------------
-# METEOR (approximate: exact + Porter-stem matchers)
+# METEOR (native meteor-1.5: exact/stem/synonym/paraphrase-hook matchers,
+# module weights, content/function word discounting — evals/meteor.py)
 # ---------------------------------------------------------------------------
 
-def _porter_stem(words: List[str]) -> List[str]:
-    try:
-        from nltk.stem.porter import PorterStemmer
-        st = PorterStemmer()
-        return [st.stem(w) for w in words]
-    except Exception:                              # pragma: no cover
-        return words
-
-
-def _meteor_align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
-    """Greedy two-stage alignment (exact then stem); returns
-    (num_matches, num_chunks)."""
-    m = [-1] * len(hyp)
-    used = [False] * len(ref)
-    for stage in range(2):
-        h = hyp if stage == 0 else _porter_stem(hyp)
-        r = ref if stage == 0 else _porter_stem(ref)
-        for i, w in enumerate(h):
-            if m[i] >= 0:
-                continue
-            for j, v in enumerate(r):
-                if not used[j] and w == v:
-                    m[i], used[j] = j, True
-                    break
-    pairs = [(i, j) for i, j in enumerate(m) if j >= 0]
-    matches = len(pairs)
-    chunks = 0
-    prev = None
-    for i, j in pairs:
-        if prev is None or j != prev + 1:
-            chunks += 1
-        prev = j
-    return matches, chunks
-
-
 def meteor(gts: Dict[str, List[str]], res: Dict[str, List[str]],
-           alpha: float = 0.85, beta: float = 0.2, gamma: float = 0.6
+           synonym_file: Optional[str] = None,
+           paraphrase_file: Optional[str] = None
            ) -> Tuple[float, np.ndarray]:
-    scores = []
-    for k in gts:
-        hyp = res[k][0].split()
-        best = 0.0
-        for rs in gts[k]:
-            ref = rs.split()
-            matches, chunks = _meteor_align(hyp, ref)
-            if matches == 0:
-                continue
-            p = matches / len(hyp)
-            r = matches / len(ref)
-            f = p * r / (alpha * p + (1 - alpha) * r)
-            frag = chunks / matches
-            pen = gamma * (frag ** 3)   # meteor-1.5 en: gamma=.6, exponent 3
-            best = max(best, (1 - pen) * f)
-        scores.append(best)
-    arr = np.array(scores)
-    return float(np.mean(arr)), arr
+    from .meteor import meteor as _meteor
+    return _meteor(gts, res, synonym_file=synonym_file,
+                   paraphrase_file=paraphrase_file)
 
 
 # ---------------------------------------------------------------------------

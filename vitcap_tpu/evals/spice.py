@@ -144,13 +144,14 @@ def _chunk_nps(tagged: List[Tuple[str, str]]
 def extract_tuples(tokens: Sequence[str]) -> Set[Tuple[str, ...]]:
     """Scene-graph tuples of a tokenized caption: {(obj), (obj, attr),
     (subj, pred, obj)} over Porter stems."""
-    from .metrics import _porter_stem
+    from .meteor import _ensure_stemmer, _stem
+    _ensure_stemmer()
     tagged = _tag(list(tokens))
     nps = _chunk_nps(tagged)
     tuples: Set[Tuple[str, ...]] = set()
 
     def stem(w: str) -> str:
-        return _porter_stem([w])[0]
+        return _stem(w)
 
     for _, _, head, attrs in nps:
         tuples.add((stem(head),))

@@ -23,8 +23,14 @@ def ensure_init_distributed(coordinator_address: Optional[str] = None,
     Env fallbacks mirror the reference's rank plumbing: MASTER_ADDR/PORT,
     WORLD_SIZE, RANK (or OMPI_COMM_WORLD_*)."""
     import jax
-    if jax.process_count() > 1 or getattr(ensure_init_distributed,
-                                          "_done", False):
+    if getattr(ensure_init_distributed, "_done", False):
+        return
+    # NB: do NOT call jax.process_count()/jax.devices() here — they
+    # initialize the XLA backend, after which jax.distributed.initialize
+    # refuses to run; inspect the distributed client state instead
+    if getattr(jax._src.distributed.global_state, "client", None) \
+            is not None:
+        ensure_init_distributed._done = True
         return
     env = os.environ
     coordinator_address = coordinator_address or (

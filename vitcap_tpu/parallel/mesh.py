@@ -44,7 +44,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def is_multiprocess_mesh(mesh: Mesh) -> bool:
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a batch data-sharded on the mesh.
+
+    Single-process: plain device_put.  Multi-process: each process holds
+    its RANK'S rows (the DistributedSampler already shards per rank,
+    uni_pipeline.get_data_loader), so the local arrays are stitched into
+    one global array via host_local_array_to_global_array — the JAX
+    analogue of DDP's per-rank batches + implicit gradient all-reduce."""
+    if is_multiprocess_mesh(mesh):
+        import numpy as _np
+        from jax.experimental import multihost_utils
+        return jax.tree_util.tree_map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                _np.asarray(x), mesh, P(DATA_AXIS)), batch)
     s = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 

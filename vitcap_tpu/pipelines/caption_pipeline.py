@@ -288,8 +288,14 @@ class CaptionUniPipeline(UniPipeline):
     # ------------------------------------------------------------------
 
     def _make_mesh(self):
+        """Training mesh over ALL devices (every process must build the
+        same global mesh; in multi-process runs grads psum across hosts
+        through it).  mesh_data caps the data axis — single-process only
+        (a capped multi-process mesh would leave peers outside it)."""
         from ..parallel.mesh import make_mesh
         import jax
+        if jax.process_count() > 1:
+            return make_mesh(n_data=jax.device_count())
         n = self.cfg.mesh_data or jax.local_device_count()
         return make_mesh(n_data=n)
 
@@ -502,6 +508,12 @@ class CaptionUniPipeline(UniPipeline):
         from ..solver.optimization import AdamWState
 
         cfg = self.model_cfg
+        from ..parallel.mesh import shard_batch, shard_params
+        # local data parallelism, like _train_xe: params replicate on the
+        # mesh, decode/grad batches shard on the data axis (the reference
+        # SCSTs across WORLD_SIZE=3 GPUs, …expanding.py:404-478; rewards
+        # stay host-side either way)
+        mesh = self._make_mesh()
         ckpt = Checkpointer(
             self.model_folder,
             backend=self.cfg.get("checkpoint_backend") or "msgpack",
@@ -509,6 +521,7 @@ class CaptionUniPipeline(UniPipeline):
         params = M.init_params(jax.random.PRNGKey(self.cfg.random_seed), cfg)
         params, full_state, start_iter = ckpt.recover_or_load(
             self.cfg.basemodel, params)
+        params = shard_params(params, mesh)
         if full_state is not None:
             from ..solver.train_step import train_rng
             state = TrainState(
@@ -553,17 +566,17 @@ class CaptionUniPipeline(UniPipeline):
         for batch in loader:
             rng, sub = jax.random.split(rng)
             input_ids = np.asarray(batch["input_ids"])
-            dev = {
+            dev = shard_batch({
                 "image": jnp.asarray(np.asarray(batch["image"]),
                                      jnp.float32),
                 "od_ids": jnp.asarray(input_ids[:, A:]),
                 "seq_len": jnp.asarray(np.asarray(batch["seq_len"])),
-            }
+            }, mesh)
             gt = [caption_loader.get_captions_by_key(int(i))
                   for i in batch["idx_img"]]
             state, metrics = scst_train_step(
                 decode_fn, grad_fn, reward, self.tokenizer, state, dev,
-                gt, sub)
+                gt, sub, mesh=mesh)
             iteration += 1
             if iteration % int(self.cfg.log_step) == 0 \
                     or iteration == self.max_iter:

@@ -222,7 +222,14 @@ class UniPipeline:
             return
         if self.mpi_rank == 0:
             save_parameters(self.kwargs, self.output_folder)
-        return self.train()
+        out = self.train()
+        # all ranks leave training only after rank 0's final snapshot is
+        # on the shared FS (reference synchronize at uni_pipeline.py:369
+        # vicinity): without this a fast peer reaches ensure_predict
+        # before model_final exists and silently skips predicting,
+        # desyncing the predict-merge barriers
+        self._barrier()
+        return out
 
     def train(self):
         raise NotImplementedError

@@ -265,18 +265,50 @@ def make_scst_fns(cfg: ModelConfig, opts: D.DecodeOptions,
 
 def scst_train_step(decode_fn, grad_step_fn, reward: ScstReward,
                     tokenizer, state, batch: Dict[str, Any],
-                    gt_captions: List[List[str]], rng) -> Tuple[Any, Dict]:
-    """One full SCST iteration (decode -> host reward -> grad)."""
+                    gt_captions: List[List[str]], rng,
+                    mesh=None) -> Tuple[Any, Dict]:
+    """One full SCST iteration (decode -> host reward -> grad).
+
+    mesh: when given, the host-computed advantages are placed data-sharded
+    on it (the batch rows already are — decode outputs inherit the batch
+    sharding through the jit); rewards are host-side strings either way.
+    """
     greedy_ids, sample_ids, raw_tokens, vidx = decode_fn(
         state.params, batch["image"], batch["od_ids"],
         batch.get("od_token_type_ids"), batch["seq_len"], rng)
+    multiproc = False
+    if mesh is not None:
+        from ..parallel.mesh import is_multiprocess_mesh
+        multiproc = is_multiprocess_mesh(mesh)
+    if multiproc:
+        # each process scores ITS shard's rows (gt_captions came from the
+        # rank's own data shard — reference DDP-SCST semantics) and the
+        # per-row advantages are stitched back into a global array
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as _P
+        g_host = multihost_utils.global_array_to_host_local_array(
+            greedy_ids, mesh, _P("data"))
+        s_host = multihost_utils.global_array_to_host_local_array(
+            sample_ids, mesh, _P("data"))
+    else:
+        g_host, s_host = greedy_ids, sample_ids
     greedy = [tokenizer.decode(list(map(int, r)), skip_special_tokens=True)
-              for r in np.asarray(greedy_ids)]
+              for r in np.asarray(g_host)]
     samples = [tokenizer.decode(list(map(int, r)), skip_special_tokens=True)
-               for r in np.asarray(sample_ids)]
+               for r in np.asarray(s_host)]
     adv = reward(gt_captions, greedy, samples)
+    if multiproc:
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as _P
+        adv = multihost_utils.host_local_array_to_global_array(
+            adv, mesh, _P("data"))
+    else:
+        adv = jnp.asarray(adv)
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding
+            adv = jax.device_put(adv, batch_sharding(mesh))
     state, metrics = grad_step_fn(state, batch, sample_ids, raw_tokens,
-                                  jnp.asarray(adv), vidx)
+                                  adv, vidx)
     metrics = dict(metrics)
     metrics["cider_score"] = reward.get_score()
     return state, metrics
