@@ -41,9 +41,31 @@ def _flops_reference_per_caption(cfg, od_len=50, steps=20):
     return total
 
 
+def _train_fwd_flops(cfg):
+    """One training forward (per image): trunk over 577 visual tokens,
+    decoder over text+visual, LM + tag heads."""
+    H = cfg.hidden_size
+    V = cfg.num_visual_tokens
+    I = cfg.intermediate_size
+
+    def block(tokens):
+        attn = 4 * tokens * H * H + 2 * tokens * tokens * H
+        mlp = 2 * tokens * H * I
+        return 2 * (attn + mlp)
+
+    L = cfg.max_seq_len + 1 + V
+    total = (cfg.num_hidden_layers + cfg.split_blocks) * block(V)
+    total += cfg.decoder_layers * block(L)
+    total += 2 * H * cfg.vocab_size * cfg.max_seq_len
+    total += 2 * H * cfg.tag_vocab_size
+    return total
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    from vitcap_tpu.utils.common import enable_compilation_cache
+    enable_compilation_cache()
     from vitcap_tpu.models.config import ModelConfig
     from vitcap_tpu.models import vitcap as M
     from vitcap_tpu.models import decode as D
@@ -94,7 +116,70 @@ def main():
         "value": round(caps_per_sec, 2),
         "unit": "captions/s",
         "vs_baseline": round(caps_per_sec / v100_rate, 2),
-    }))
+    }), flush=True)
+
+    # --- secondary lines (greedy stays first for the driver contract) ---
+    bopts = D.DecodeOptions(max_length=cfg.max_gen_length, num_beams=3,
+                            od_labels_start_posid=cfg.max_seq_a_len)
+
+    @jax.jit
+    def run_beam(params, images, od_ids, seq_len):
+        out = D.generate_beam(params, images, od_ids, None, seq_len, cfg,
+                              bopts)
+        return out["ids"]
+
+    np.array(run_beam(params, images, od_ids, seq_len))     # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        bids = run_beam(params, images, od_ids, seq_len)
+    np.array(bids)
+    beam_rate = B / ((time.perf_counter() - t0) / iters)
+    print(json.dumps({
+        "metric": f"beam-3 captions/sec/chip (B={B}, 20 steps)",
+        "value": round(beam_rate, 2),
+        "unit": "captions/s",
+        "vs_baseline": round(beam_rate / (v100_rate / 3.0), 2),
+    }), flush=True)
+
+    # training step, B=64 bf16 remat on (the production memory config)
+    from vitcap_tpu.solver.train_step import (
+        TrainHyper, init_train_state, make_jitted_train_step)
+    tcfg = ModelConfig(dtype="bfloat16", remat=True, tag_loss_weight=1.0)
+    T = tcfg.max_seq_len
+    batch = {
+        "image": images,
+        "input_ids": jnp.asarray(rng.randint(999, 9000, (B, T)), jnp.int32),
+        "token_type_ids": jnp.concatenate(
+            [jnp.zeros((B, tcfg.max_seq_a_len), jnp.int32),
+             jnp.ones((B, T - tcfg.max_seq_a_len), jnp.int32)], 1),
+        "seq_a_len": jnp.full((B,), tcfg.max_seq_a_len, jnp.int32),
+        "seq_len": jnp.full((B,), T, jnp.int32),
+        "masked_pos": jnp.zeros((B, T), jnp.int32).at[:, 1:4].set(1),
+        "masked_ids": jnp.asarray(
+            rng.randint(999, 9000, (B, tcfg.max_masked_tokens)), jnp.int32),
+        "label": jnp.asarray((rng.rand(B, tcfg.tag_vocab_size) < 0.002),
+                             jnp.float32),
+    }
+    tstate = init_train_state(M.init_params(jax.random.PRNGKey(0), tcfg),
+                              jax.random.PRNGKey(1))
+    step_fn = make_jitted_train_step(tcfg, TrainHyper(base_lr=1e-4,
+                                                      max_iter=1000))
+    tstate, tm = step_fn(tstate, batch, False)              # compile
+    float(tm["loss"])
+    t0 = time.perf_counter()
+    for _ in range(8):
+        tstate, tm = step_fn(tstate, batch, False)
+    float(tm["loss"])
+    train_rate = B / ((time.perf_counter() - t0) / 8)
+    # reference trains ViTCAP on V100s; same 40 TFLOP/s analytic budget
+    # over fwd+bwd (~3x fwd) of the full model at seq 70 + 577 visual
+    train_flops = 3 * _train_fwd_flops(tcfg)
+    print(json.dumps({
+        "metric": f"train img/s/chip (B={B} bf16 remat)",
+        "value": round(train_rate, 2),
+        "unit": "img/s",
+        "vs_baseline": round(train_rate / (40e12 / train_flops), 2),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -250,3 +250,130 @@ def test_constraint_filter(tmp_path):
     # coarser 'animal' survives despite full overlap with 'dog'.
     assert "person" not in out
     assert set(out) == {"dog", "car", "animal"}
+
+
+def _tiny_builder():
+    from vitcap_tpu.data.tokenization import BertTokenizer
+    tok = BertTokenizer(
+        "/root/reference/yaml/VILT-L12-H784-uncased_16_384/vocab.txt")
+    c2t = {"dog": ["dog"], "fire": ["fire"], "hydrant": ["hydrant"],
+           "cat": ["cat"]}
+    wf = {"dog": ["dog", "dogs"], "fire": ["fire"],
+          "hydrant": ["hydrant", "hydrants"], "cat": ["cat", "cats"]}
+    return C.FiniteStateMachineBuilder(tok, c2t, wf,
+                                       max_given_constraints=3)
+
+
+def test_sparse_builder_equals_dense():
+    """build_sparse_fsm mirrors FiniteStateMachineBuilder.build op-for-op:
+    densified sparse adjacency is bit-identical, incl. multi-word
+    constraint sub-state chains and the reference's reset-row quirk."""
+    b = _tiny_builder()
+    for constraints in [[], ["dog"], ["dog", "cat"], ["fire hydrant"],
+                        ["fire hydrant", "dog"],
+                        ["fire hydrant", "dog", "cat"],
+                        ["dog", "dog"]]:
+        dense, _ = b.build(constraints)
+        sparse = C.build_sparse_fsm(b, constraints)
+        np.testing.assert_array_equal(sparse.densify(), dense,
+                                      err_msg=str(constraints))
+
+
+def test_dense_to_sparse_roundtrip():
+    b = _tiny_builder()
+    dense, _ = b.build(["fire hydrant", "dog"])
+    np.testing.assert_array_equal(C.dense_to_sparse(dense).densify(), dense)
+
+
+def test_sparse_search_matches_dense(ref_and_params):
+    """The production sparse-FSM search returns the same beam sets and
+    logprobs as the dense (S, S, V) search on the tiny model."""
+    _, _, params = ref_and_params
+    rng = np.random.RandomState(23)
+    image, od_ids, seq_len = _decode_batch(rng)
+    B = image.shape[0]
+    fsm = _tiny_fsm(B, constraint_word_ids=[17, 42])
+    opts = D.DecodeOptions(max_length=A,
+                           od_labels_start_posid=TCFG.max_seq_a_len)
+
+    dense = C.constrained_beam_search(
+        params, jnp.asarray(image), jnp.asarray(od_ids),
+        jnp.ones_like(jnp.asarray(od_ids)), jnp.asarray(seq_len),
+        jnp.asarray(fsm), TCFG, opts, beam_size=NB)
+
+    sfsm = C.sparse_batch([C.dense_to_sparse(f) for f in fsm])
+    sparse = C.constrained_beam_search_sparse(
+        params, jnp.asarray(image), jnp.asarray(od_ids),
+        jnp.ones_like(jnp.asarray(od_ids)), jnp.asarray(seq_len),
+        {k: jnp.asarray(v) for k, v in sfsm.items()}, TCFG, opts,
+        beam_size=NB)
+
+    d_ids = np.asarray(dense["ids"])
+    d_lp = np.asarray(dense["logprobs"])
+    s_ids = np.asarray(sparse["ids"])
+    s_lp = np.asarray(sparse["logprobs"])
+    for b in range(B):
+        for s in range(NS):
+            dm = {tuple(r): l for r, l in zip(d_ids[b, s], d_lp[b, s])}
+            sm = {tuple(r): l for r, l in zip(s_ids[b, s], s_lp[b, s])}
+            assert set(dm) == set(sm), (b, s, dm, sm)
+            for k in dm:
+                np.testing.assert_allclose(sm[k], dm[k], atol=1e-5)
+
+
+def test_sparse_search_with_builder_fsm(ref_and_params):
+    """Sparse vs dense on a REAL builder FSM (multi-word constraint ->
+    sub-state chains, wordforms, S=32): beam sets per state match."""
+    _, _, params = ref_and_params
+
+    class _StubTok:       # word ids inside the tiny model's 128-vocab
+        vocab_size = TCFG.vocab_size
+        _map = {"dog": 17, "dogs": 18, "cat": 42, "cats": 43,
+                "fire": 50, "hydrant": 51, "hydrants": 52}
+
+        def convert_tokens_to_ids(self, toks):
+            return [self._map.get(t, 3) for t in toks]
+
+    b = C.FiniteStateMachineBuilder(
+        _StubTok(),
+        {"dog": ["dog"], "fire": ["fire"], "hydrant": ["hydrant"],
+         "cat": ["cat"]},
+        {"dog": ["dog", "dogs"], "fire": ["fire"],
+         "hydrant": ["hydrant", "hydrants"], "cat": ["cat", "cats"]},
+        max_given_constraints=3)
+    rng = np.random.RandomState(24)
+    image, od_ids, seq_len = _decode_batch(rng)
+    B = image.shape[0]
+    cons = [["fire hydrant", "dog"], ["dog", "cat"]]
+    dense_fsms = [b.build(c)[0] for c in cons]
+    sparse_fsms = [C.build_sparse_fsm(b, c) for c in cons]
+    fsm = np.stack(dense_fsms)
+    opts = D.DecodeOptions(max_length=A,
+                           od_labels_start_posid=TCFG.max_seq_a_len)
+
+    dense = C.constrained_beam_search(
+        params, jnp.asarray(image), jnp.asarray(od_ids),
+        jnp.ones_like(jnp.asarray(od_ids)), jnp.asarray(seq_len),
+        jnp.asarray(fsm), TCFG, opts, beam_size=NB)
+    sfsm = C.sparse_batch(sparse_fsms)
+    sparse = C.constrained_beam_search_sparse(
+        params, jnp.asarray(image), jnp.asarray(od_ids),
+        jnp.ones_like(jnp.asarray(od_ids)), jnp.asarray(seq_len),
+        {k: jnp.asarray(v) for k, v in sfsm.items()}, TCFG, opts,
+        beam_size=NB)
+
+    S = fsm.shape[1]
+    d_ids = np.asarray(dense["ids"])
+    d_lp = np.asarray(dense["logprobs"])
+    s_ids = np.asarray(sparse["ids"])
+    s_lp = np.asarray(sparse["logprobs"])
+    live = -1e10   # ignore dead/filler beams (different sentinels)
+    for bi in range(B):
+        for s in range(S):
+            dm = {tuple(r): l for r, l in zip(d_ids[bi, s], d_lp[bi, s])
+                  if l > live}
+            sm = {tuple(r): l for r, l in zip(s_ids[bi, s], s_lp[bi, s])
+                  if l > live}
+            assert set(dm) == set(sm), (bi, s, dm, sm)
+            for k in dm:
+                np.testing.assert_allclose(sm[k], dm[k], atol=1e-5)

@@ -258,3 +258,22 @@ def test_pert_collate_itm_negatives():
     # shuffled rows: matched iff the image landed back on its own slot
     for i in range(8):
         assert out["matched"][i] == (out["image"][i, 0, 0] == i)
+
+
+def test_empty_epoch_sampler_raises():
+    """batch_size > dataset with drop_last yields zero batches per epoch;
+    the iteration-based sampler must raise instead of spinning forever."""
+    import pytest
+    from vitcap_tpu.data.dataset import (
+        BatchSampler, DistributedSampler, IterationBasedBatchSampler)
+
+    class _DS:
+        def __len__(self):
+            return 6
+
+    sampler = DistributedSampler(_DS(), num_replicas=1, rank=0,
+                                 shuffle=False)
+    bs = BatchSampler(sampler, batch_size=8, drop_last=True)
+    ibs = IterationBasedBatchSampler(bs, num_iterations=3)
+    with pytest.raises(RuntimeError, match="no batches"):
+        list(ibs)

@@ -305,3 +305,54 @@ def test_sigterm_preemption_snapshot(workdir):
     pip2 = R.create_pipeline(param)
     pip2.ensure_train()
     assert (out / f"model_iter_{param['max_iter']:07d}.ckpt").is_file()
+
+
+def test_cbs_predict_pipeline(workdir):
+    """use_cbs predict through the pipeline (pipelined dispatch/drain +
+    sparse-FSM search): every caption must contain a constraint word, and
+    the sparse and dense paths must produce identical predict rows."""
+    import json as _json
+    from vitcap_tpu.pipelines.caption_pipeline import CaptionUniPipeline
+    from vitcap_tpu.data.tsv import tsv_reader
+
+    root = workdir
+    # detected boxes for every test key: dog + cat, overlapping rects
+    keys = [f"im{i}" for i in range(6)]
+    boxes = root / "cbs_boxes.tsv"
+    with open(boxes, "w") as f:
+        for k in keys:
+            dets = [{"class": "dog", "conf": 0.9, "rect": [0, 0, 10, 10]},
+                    {"class": "cat", "conf": 0.8, "rect": [20, 20, 30, 30]}]
+            f.write(f"{k}\t{_json.dumps(dets)}\n")
+    hierarchy = root / "cbs_hierarchy.json"
+    hierarchy.write_text(_json.dumps(
+        {"LabelName": "Entity",
+         "Subcategory": [{"LabelName": "Dog"}, {"LabelName": "Cat"}]}))
+    c2t = root / "cbs_c2t.tsv"
+    c2t.write_text("dog\tdog\ncat\tcat\n")
+    wf = root / "cbs_wf.tsv"
+    wf.write_text("dog\tdog,dogs\ncat\tcat,cats\n")
+
+    base = _param(workdir)
+    base["expid"] = "cbs_predict"
+    pip = CaptionUniPipeline(**base)
+    pip.ensure_train()
+
+    def rows(extra):
+        p = dict(base, use_cbs=True, cbs_boxes_tsv=str(boxes),
+                 cbs_hierarchy_json=str(hierarchy),
+                 cbs_constraint2tokens_tsv=str(c2t),
+                 cbs_wordforms_tsv=str(wf), min_constraints_to_satisfy=1,
+                 full_expid=pip.full_expid, **extra)
+        pp = CaptionUniPipeline(**p)
+        f = pp.ensure_predict(pip.get_checkpoint_file())
+        return {k: _json.loads(v) for k, v in tsv_reader(f)}
+
+    sparse = rows({})
+    assert set(sparse) == set(keys)
+    for caps in sparse.values():
+        assert caps and "caption" in caps[0] and "conf" in caps[0]
+    # dense path must agree row for row (force_predict recomputes into the
+    # same artifact)
+    dense = rows({"cbs_sparse": 0, "force_predict": True})
+    assert dense == sparse

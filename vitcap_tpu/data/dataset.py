@@ -355,11 +355,19 @@ class IterationBasedBatchSampler:
             if hasattr(self.batch_sampler.sampler, "set_epoch"):
                 self.batch_sampler.sampler.set_epoch(epoch)
             epoch += 1
+            yielded = False
             for batch in self.batch_sampler:
+                yielded = True
                 if iteration >= self.num_iterations:
                     break
                 yield batch
                 iteration += 1
+            if not yielded:
+                # e.g. drop_last with batch_size > dataset size: every
+                # epoch is empty and the while-loop would spin forever
+                raise RuntimeError(
+                    "batch sampler produced no batches (batch_size larger "
+                    "than the per-rank dataset with drop_last?)")
 
     def __len__(self):
         return self.num_iterations

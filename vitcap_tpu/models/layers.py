@@ -119,19 +119,35 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
     B, Lq, H = q.shape
     Lk = k.shape[1]
     hd = H // num_heads
-    qh = q.reshape(B, Lq, num_heads, hd).transpose(0, 2, 1, 3)
-    kh = k.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
-    vh = v.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
 
     use_dropout = not (deterministic or dropout_rate == 0.0 or rng is None)
     if Lq == Lk and Lq >= 64 and not use_dropout:
-        from ..ops import attention_backend
+        from ..ops import attention_backend, train_attention_backend
         backend = attention_backend()
+        if backend == "xla" and (bias is None or bias.shape[1] == 1):
+            # gradient-carrying traces (training/scoring): packed-layout
+            # fused kernels, fwd + one-pass Pallas backward.  XLA's
+            # attention backward re-reads the materialized (B, nh, L, L)
+            # probs, and the (B, L, H) <-> (B, nh, L, dh) head transposes
+            # around per-head kernels move 64-wide minor chunks at
+            # ~20 GB/s — the packed kernels avoid both.
+            tb = train_attention_backend()
+            if tb != "xla":
+                from ..ops.flash_attention import flash_attention_packed
+                return flash_attention_packed(q, k, v, bias, num_heads,
+                                              tb == "pallas_interpret")
         if backend != "xla":
             from ..ops.flash_attention import flash_attention
+            qh = q.reshape(B, Lq, num_heads, hd).transpose(0, 2, 1, 3)
+            kh = k.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
+            vh = v.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
             out = flash_attention(qh, kh, vh, bias,
                                   backend == "pallas_interpret")
             return out.transpose(0, 2, 1, 3).reshape(B, Lq, H)
+
+    qh = q.reshape(B, Lq, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
 
     if scores_dtype is not None and scores_dtype != jnp.float32:
         # fold the scale into q so no extra full-size pass is needed

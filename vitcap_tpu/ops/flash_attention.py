@@ -228,6 +228,314 @@ def _flash_fwd_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out[:, :, :L] if pad else out
 
 
+def _bwd_onepass_kernel(q_ref, k_ref, v_ref, g_ref, bias_ref,
+                        dq_ref, dk_ref, dv_ref, *, hpc: int, scale: float,
+                        l_actual: int, lp: int):
+    """dq/dk/dv with the whole (Lp, Lp) score matrix resident in VMEM,
+    recomputed from q/k/v (no probs ever touch HBM — XLA's backward reads
+    the materialized probability tensor, ~10 MB/head/block of traffic at
+    the trunk shape; this reads the 4 (Lp, dh) operands and writes 3).
+
+    Per head: S = scale*q.k^T (+bias, pad-key mask), P = softmax(S),
+    dV = P^T.g, dP = g.V^T, dS = P*(dP - rowsum(dP*P)), dQ = scale*dS.K,
+    dK = scale*dS^T.Q."""
+    for h in range(hpc):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        g = g_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # (Lp, Lp)
+        if bias_ref is not None:
+            s = s + bias_ref[0, h if bias_ref.shape[1] > 1 else 0].astype(
+                jnp.float32)
+        if l_actual < lp:
+            kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kidx < l_actual, s, NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / jnp.maximum(l, 1e-30)                        # (Lp, Lp) f32
+        pb = p.astype(v.dtype)
+        # dV[k, d] = sum_q P[q, k] * g[q, d]
+        dv = jax.lax.dot_general(pb, g, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # dP[q, k] = sum_d g[q, d] * v[k, d]
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        r = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - r)).astype(q.dtype)                  # (Lp, Lp)
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # dK[k, d] = sum_q dS[q, k] * q[q, d]
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[0, h] = (dq * scale).astype(dq_ref.dtype)
+        dk_ref[0, h] = (dk * scale).astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_onepass(q, k, v, bias, g, interpret: bool):
+    """(B, nH, L, dh) backward; returns (dq, dk, dv).  Short-sequence
+    regime only (Lp <= 1024): S/P/dP live in VMEM per head; hpc=2 heads
+    per cell keeps the f32 (Lp, Lp) intermediates (3 x 2.6 MB at Lp=640)
+    plus 7 head-operand blocks inside the ~16 MB VMEM budget."""
+    B, nH, L, dh = q.shape
+    scale = dh ** -0.5
+    Lp = _round_up(L, TK)
+    pad = Lp - L
+    if pad:
+        pads = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q = jnp.pad(q, pads)
+        k = jnp.pad(k, pads)
+        v = jnp.pad(v, pads)
+        g = jnp.pad(g, pads)
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad), (0, pad)))
+    hpc = next((h for h in (2, 1) if nH % h == 0))
+    cells = B * nH // hpc
+    qf = q.reshape(cells, hpc, Lp, dh)
+    kf = k.reshape(cells, hpc, Lp, dh)
+    vf = v.reshape(cells, hpc, Lp, dh)
+    gf = g.reshape(cells, hpc, Lp, dh)
+    kern = functools.partial(_bwd_onepass_kernel, hpc=hpc, scale=scale,
+                             l_actual=L, lp=Lp)
+    spec = pl.BlockSpec((1, hpc, Lp, dh), lambda c: (c, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [spec, spec, spec, spec]
+    args = [qf, kf, vf, gf]
+    if bias is not None:
+        nHb = bias.shape[1]
+        if nHb == nH:
+            bias_f = bias.reshape(cells, hpc, Lp, Lp)
+            bspec = pl.BlockSpec((1, hpc, Lp, Lp), lambda c: (c, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        else:
+            per_img = nH // hpc
+            bias_f = bias.reshape(B, 1, Lp, Lp)
+            bspec = pl.BlockSpec(
+                (1, 1, Lp, Lp),
+                lambda c, _n=per_img: (c // _n, 0, 0, 0),
+                memory_space=pltpu.VMEM)
+        in_specs.append(bspec)
+        args.append(bias_f)
+
+    def body(*refs):
+        if bias is not None:
+            q_r, k_r, v_r, g_r, b_r, dq_r, dk_r, dv_r = refs
+            kern(q_r, k_r, v_r, g_r, b_r, dq_r, dk_r, dv_r)
+        else:
+            q_r, k_r, v_r, g_r, dq_r, dk_r, dv_r = refs
+            kern(q_r, k_r, v_r, g_r, None, dq_r, dk_r, dv_r)
+
+    oshape = jax.ShapeDtypeStruct((cells, hpc, Lp, dh), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        body,
+        out_shape=(oshape, oshape, oshape),
+        grid=(cells,),
+        in_specs=in_specs,
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+    )(*args)
+    out = [a.reshape(B, nH, Lp, dh) for a in (dq, dk, dv)]
+    if pad:
+        out = [a[:, :, :L] for a in out]
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# packed-layout kernels: q/k/v stay (B, L, nh*dh) end to end
+# ---------------------------------------------------------------------------
+#
+# The (B, L, H) -> (B, nh, L, dh) head transposes XLA inserts around the
+# per-head kernels move 64-wide minor-dim chunks — measured 2.8 ms per
+# 56 MB transpose on v5e (20 GB/s, 40x below bandwidth) plus equally slow
+# pad copies, ~110 ms/step at B=64.  These kernels take the packed layout
+# directly and slice each head's dh columns inside VMEM.
+
+def _fwd_packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads: int,
+                       dh: int, scale: float, l_actual: int, lp: int):
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_ref[0, :, sl]                                  # (Lp, dh)
+        k = k_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # (Lp, Lp)
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0].astype(jnp.float32)
+        if l_actual < lp:
+            kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kidx < l_actual, s, NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(v_ref.dtype), v_ref[0, :, sl],
+                    preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _bwd_packed_kernel(q_ref, k_ref, v_ref, g_ref, bias_ref,
+                       dq_ref, dk_ref, dv_ref, *, heads: int, dh: int,
+                       scale: float, l_actual: int, lp: int):
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        g = g_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0].astype(jnp.float32)
+        if l_actual < lp:
+            kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kidx < l_actual, s, NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / jnp.maximum(l, 1e-30)
+        pb = p.astype(v.dtype)
+        dv = jax.lax.dot_general(pb, g, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        r = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - r)).astype(q.dtype)
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = (dk * scale).astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _packed_pad(x, Lp):
+    B, L, H = x.shape
+    return jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0))) if Lp > L else x
+
+
+def _packed_specs(B, Lp, H, ng, Hg, bias, heads_per_group):
+    spec = pl.BlockSpec((1, Lp, Hg), lambda b, g: (b, 0, g),
+                        memory_space=pltpu.VMEM)
+    bspec = None
+    if bias is not None:
+        bspec = pl.BlockSpec((1, 1, Lp, Lp), lambda b, g: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return spec, bspec
+
+
+def _flash_fwd_packed(q, k, v, bias, nh, interpret):
+    """q/k/v: (B, L, H=nh*dh); bias None or (B, 1, L, L) per-image."""
+    B, L, H = q.shape
+    dh = H // nh
+    scale = dh ** -0.5
+    Lp = _round_up(L, TK)
+    q, k, v = (_packed_pad(a, Lp) for a in (q, k, v))
+    if bias is not None and Lp > L:
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Lp - L), (0, Lp - L)))
+    # head-group size: >4 unrolled full-matrix heads per cell explodes the
+    # Mosaic program (the 12-head variant hung the remote compiler)
+    hpg = min(4, nh)
+    while nh % hpg:
+        hpg -= 1
+    ng = nh // hpg
+    Hg = hpg * dh
+    spec, bspec = _packed_specs(B, Lp, H, ng, Hg, bias, hpg)
+    kern = functools.partial(_fwd_packed_kernel, heads=hpg, dh=dh,
+                             scale=scale, l_actual=L, lp=Lp)
+
+    def body(*refs):
+        if bias is not None:
+            q_r, k_r, v_r, b_r, o_r = refs
+            kern(q_r, k_r, v_r, b_r, o_r)
+        else:
+            q_r, k_r, v_r, o_r = refs
+            kern(q_r, k_r, v_r, None, o_r)
+
+    in_specs = [spec, spec, spec] + ([bspec] if bias is not None else [])
+    args = [q, k, v] + ([bias] if bias is not None else [])
+    out = pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((B, Lp, H), q.dtype),
+        grid=(B, ng),
+        in_specs=in_specs,
+        out_specs=spec,
+        interpret=interpret,
+    )(*args)
+    return out[:, :L] if Lp > L else out
+
+
+def _flash_bwd_packed(q, k, v, bias, g, nh, interpret):
+    B, L, H = q.shape
+    dh = H // nh
+    scale = dh ** -0.5
+    Lp = _round_up(L, TK)
+    q, k, v, g = (_packed_pad(a, Lp) for a in (q, k, v, g))
+    if bias is not None and Lp > L:
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Lp - L), (0, Lp - L)))
+    # 7 resident blocks (4 in + 3 out) and a heavier per-head body than
+    # the forward: keep the unroll at 2 heads per cell
+    hpg = min(2, nh)
+    while nh % hpg:
+        hpg -= 1
+    ng = nh // hpg
+    Hg = hpg * dh
+    spec, bspec = _packed_specs(B, Lp, H, ng, Hg, bias, hpg)
+    kern = functools.partial(_bwd_packed_kernel, heads=hpg, dh=dh,
+                             scale=scale, l_actual=L, lp=Lp)
+
+    def body(*refs):
+        if bias is not None:
+            q_r, k_r, v_r, g_r, b_r, dq_r, dk_r, dv_r = refs
+            kern(q_r, k_r, v_r, g_r, b_r, dq_r, dk_r, dv_r)
+        else:
+            q_r, k_r, v_r, g_r, dq_r, dk_r, dv_r = refs
+            kern(q_r, k_r, v_r, g_r, None, dq_r, dk_r, dv_r)
+
+    in_specs = [spec] * 4 + ([bspec] if bias is not None else [])
+    args = [q, k, v, g] + ([bias] if bias is not None else [])
+    oshape = jax.ShapeDtypeStruct((B, Lp, H), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        body,
+        out_shape=(oshape, oshape, oshape),
+        grid=(B, ng),
+        in_specs=in_specs,
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+    )(*args)
+    if Lp > L:
+        dq, dk, dv = dq[:, :L], dk[:, :L], dv[:, :L]
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_attention_packed(q, k, v, bias, num_heads, interpret=False):
+    """Packed-layout fused attention: q/k/v (B, L, H), bias None or
+    (B, 1, L, L) additive, returns (B, L, H).  No head transposes touch
+    HBM in either direction; backward is the one-pass Pallas
+    recompute kernel."""
+    return _flash_fwd_packed(q, k, v, bias, num_heads, interpret)
+
+
+def _packed_fwd(q, k, v, bias, num_heads, interpret):
+    return _flash_fwd_packed(q, k, v, bias, num_heads, interpret), \
+        (q, k, v, bias)
+
+
+def _packed_bwd(num_heads, interpret, res, gout):
+    q, k, v, bias = res
+    dq, dk, dv = _flash_bwd_packed(q, k, v, bias, gout, num_heads,
+                                   interpret)
+    return dq, dk, dv, (None if bias is None else jnp.zeros_like(bias))
+
+
+flash_attention_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
 def _xla_attention(q, k, v, bias):
     dh = q.shape[-1]
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
@@ -251,7 +559,17 @@ def _fwd(q, k, v, bias, interpret):
 
 def _bwd(interpret, res, g):
     q, k, v, bias = res
-    # recompute-based backward with plain XLA ops (standard softmax grad)
+    Lp = _round_up(q.shape[2], TK)
+    if Lp <= 1024:
+        # fused recompute backward: no (B, nH, L, L) probability tensor
+        # ever reaches HBM (XLA's backward reads the materialized probs —
+        # measured 16 ms/block fwd+bwd at the trunk shape vs ~4 for this)
+        dq, dk, dv = _flash_bwd_onepass(q, k, v, bias, g, interpret)
+        # bias is the (constant) mask tensor; its cotangent is never
+        # consumed (masks are not trainable) and the zeros are DCE'd
+        return dq, dk, dv, (None if bias is None
+                            else jnp.zeros_like(bias))
+    # long-sequence fallback: recompute with plain XLA ops
     def f(q, k, v, bias):
         return _xla_attention(q, k, v, bias)
     if bias is None:

@@ -409,7 +409,13 @@ class CaptionUniPipeline(UniPipeline):
                     dev["gen_tag_ratio"] = jnp.asarray(
                         max(float(gen_tag_ratio), iteration / self.max_iter),
                         jnp.float32)
-                state, metrics = step_fn(state, dev)
+                # request the (expensive) train-time probes only for steps
+                # whose metrics actually get read — log/NaN-check/final
+                it_next = iteration + 1
+                want_probes = (it_next % log_step == 0
+                               or it_next % nan_check_steps == 0
+                               or it_next >= self.max_iter)
+                state, metrics = step_fn(state, dev, want_probes)
                 iteration += 1
                 if tracing and iteration >= start_iter + profile_at + profile_n:
                     jax.block_until_ready(metrics["loss"])
@@ -582,7 +588,11 @@ class CaptionUniPipeline(UniPipeline):
                     or iteration == self.max_iter:
                 loss = float(metrics["scst_loss"])
                 if not np.isfinite(loss):
-                    ckpt.save(iteration, self._state_dict(state))
+                    # tagged artifact so `last_checkpoint` keeps pointing
+                    # at the last healthy snapshot (reference
+                    # trainer.py:134-137 NaN_context semantics)
+                    ckpt.save_tagged(f"NaN_context_{self.mpi_rank}",
+                                     iteration, self._state_dict(state))
                     raise RuntimeError(f"NaN scst loss at iter {iteration}")
                 meters.update(scst_loss=loss,
                               cider=metrics["cider_score"])
@@ -670,7 +680,11 @@ class CaptionUniPipeline(UniPipeline):
             ConstraintBoxesReader(self.cfg.cbs_boxes_tsv),
             min_constraints_to_satisfy=int(
                 self.cfg.min_constraints_to_satisfy),
-            beam_size=max(int(self.cfg.num_beams), 5))
+            beam_size=max(int(self.cfg.num_beams), 5),
+            # sparse-FSM search is the production default (few-KB
+            # descriptors vs 31 MB/image dense adjacency); cbs_sparse: 0
+            # opts back into the dense path
+            sparse=str(self.cfg.get("cbs_sparse") or "1") != "0")
 
     def predict_iter(self, dataloader, params, meters) -> Iterator:
         import jax
@@ -709,9 +723,23 @@ class CaptionUniPipeline(UniPipeline):
         # one-batch software pipeline: dispatch batch i+1 to the device
         # BEFORE fetching batch i's tokens, so host-side tokenizer decode +
         # input prep overlap device compute (jax dispatch is async; only
-        # np.asarray blocks).  CBS decodes host-interactively, so it stays
-        # synchronous.
+        # np.asarray blocks).  Applies to CBS too: its FSM build is
+        # host-side and overlaps the device search the same way.
         pending = None    # (keys, n, device_ids, device_logprobs, t_disp)
+        cbs_pending = None  # (keys, n, device_out, n_cons, t_disp)
+
+        def drain_cbs(p):
+            keys, n, out, n_cons, t_disp = p
+            best, best_lp = cbs.collect(out, n_cons, cfg)   # blocks
+            ids = best[:n, None, :]
+            confs = np.exp(best_lp)[:n, None]
+            meters.update(pipeline_time=time.time() - t_disp)
+            for key, caps, cfs in zip(keys[:n], ids, confs):
+                res = [{"caption": self.tokenizer.decode(
+                            c.tolist(), skip_special_tokens=True),
+                        "conf": float(cf)}
+                       for c, cf in zip(caps, cfs)]
+                yield key, json.dumps(res)
 
         def drain(p):
             keys, n, d_ids, d_lp, t_disp = p
@@ -748,20 +776,19 @@ class CaptionUniPipeline(UniPipeline):
                     [seq_len, np.repeat(seq_len[-1:], pad, 0)])
             od_ids = input_ids[:, A:]
             if cbs is not None:
+                # same one-batch software pipeline as the greedy path:
+                # dispatch batch i's (jitted, async) device search, then
+                # drain batch i-1 — the host FSM build + tokenizer decode
+                # overlap device compute
                 keys = list(batch["key"]) + [batch["key"][-1]] * (B - n)
-                best, best_lp = cbs.decode(
+                out, n_cons = cbs.dispatch(
                     params, jnp.asarray(images), jnp.asarray(od_ids),
                     jnp.asarray(tt[:, A:]), jnp.asarray(seq_len), keys,
                     cfg, opts)
-                ids = best[:n, None, :]
-                confs = np.exp(best_lp)[:n, None]
-                meters.update(decode_time=time.time() - t0)
-                for key, caps, cfs in zip(batch["key"], ids, confs):
-                    res = [{"caption": self.tokenizer.decode(
-                                c.tolist(), skip_special_tokens=True),
-                            "conf": float(cf)}
-                           for c, cf in zip(caps, cfs)]
-                    yield key, json.dumps(res)
+                if cbs_pending is not None:
+                    yield from drain_cbs(cbs_pending)
+                cbs_pending = (list(batch["key"]), n, out, n_cons, t0)
+                meters.update(prep_time=time.time() - t0)
             else:
                 if mesh is not None:
                     put = lambda a: jax.device_put(jnp.asarray(a), b_shard)
@@ -780,6 +807,8 @@ class CaptionUniPipeline(UniPipeline):
                 break
         if pending is not None:
             yield from drain(pending)
+        if cbs_pending is not None:
+            yield from drain_cbs(cbs_pending)
 
     def predict_output_to_tsv_row(self, data, output) -> Iterator:
         """Reference-shaped hook (…bertemb.py:620-631)."""

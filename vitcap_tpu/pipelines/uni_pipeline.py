@@ -205,7 +205,9 @@ class UniPipeline:
         if self.initialized:
             return
         from ..parallel.distributed import ensure_init_distributed
+        from ..utils.common import enable_compilation_cache
         ensure_init_distributed()
+        enable_compilation_cache()
         self.mpi_rank = get_mpi_rank()
         self.mpi_size = get_mpi_size()
         ensure_directory(self.output_folder)

@@ -90,7 +90,8 @@ def make_train_step(cfg: ModelConfig, hyper: TrainHyper,
     opt_cfg = AdamWConfig(base_lr=hyper.base_lr, eps=hyper.eps,
                           grad_clip=hyper.grad_clip)
 
-    def step(state: TrainState, batch: Dict[str, jnp.ndarray]
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray],
+             with_probes: bool = True
              ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng, sub = jax.random.split(state.rng)
 
@@ -115,6 +116,13 @@ def make_train_step(cfg: ModelConfig, hyper: TrainHyper,
                    "masked_loss": aux.get("masked_loss", loss)}
         if "tag_loss" in aux:
             metrics["tag_loss"] = aux["tag_loss"]
+        if not with_probes:
+            # the probes below cost ~22 ms/step at B=64 (the tag-precision
+            # 30522-wide argsort + gather dominates, measured on v5e) and
+            # only get READ at log_step boundaries; the pipeline requests
+            # them just there (with_probes is a static jit arg -> two
+            # compiled variants)
+            return TrainState(new_params, new_opt, rng), metrics
         if "class_logits" in aux and "masked_weight" in aux:
             # train-time caption token accuracy probe
             # (reference …bertemb.py:124-163, compute_score_with_logits)
@@ -152,4 +160,4 @@ def make_jitted_train_step(cfg: ModelConfig, hyper: TrainHyper,
     batch by shard_batch (data axis); jit propagates those placements, so
     scalars riding in the batch (e.g. gen_tag_ratio) stay replicated."""
     step = make_train_step(cfg, hyper, loss_fn)
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,), static_argnums=(2,))

@@ -414,3 +414,28 @@ def hash_sha1(s: Any) -> str:
     if not isinstance(s, str):
         s = json.dumps(s, sort_keys=True, default=str)
     return hashlib.sha1(s.encode()).hexdigest()
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache: compile each (graph, shapes,
+    topology) once per machine instead of once per process.  The flagship
+    decode/train graphs cost minutes of XLA time each; production serving
+    (and the bench/pipeline split, which are separate processes) re-pay
+    that on every start without this.
+
+    Env: VITCAP_COMPILE_CACHE=dir overrides; VITCAP_COMPILE_CACHE=0
+    disables.  Safe to call repeatedly; errors degrade to no cache."""
+    env = os.environ.get("VITCAP_COMPILE_CACHE")
+    if env == "0":
+        return
+    cache_dir = env or cache_dir or op.expanduser("~/.cache/vitcap_xla")
+    try:
+        import jax
+        ensure_directory(cache_dir)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything: even sub-second compiles add up across the
+        # pipeline's many jitted helpers
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:                      # pragma: no cover
+        logging.info("compilation cache unavailable: %s", e)
