@@ -95,7 +95,7 @@ def main():
     enc = make_encoder_dir(args.root)
 
     from vitcap_tpu.pipelines.caption_pipeline import CaptionUniPipeline
-    from vitcap_tpu.utils.common import MetricLogger
+    from vitcap_tpu.utils.meters import MetricLogger
     from vitcap_tpu.data.tsv import tsv_writer
 
     param = {
@@ -125,7 +125,7 @@ def main():
         param["loader"] = "grain"
         param["grain_workers"] = args.workers
 
-    pipe = CaptionUniPipeline(param)
+    pipe = CaptionUniPipeline(**param)
     pipe._ensure_initialized()
 
     import jax

@@ -277,3 +277,68 @@ def test_empty_epoch_sampler_raises():
     ibs = IterationBasedBatchSampler(bs, num_iterations=3)
     with pytest.raises(RuntimeError, match="no batches"):
         list(ibs)
+
+
+class TestUint8Feed:
+    """uint8 image feed: normalization folded into the patch projection
+    (models/layers.py patch_embed) must equal the host-normalized float
+    path, end to end through encode_images."""
+
+    def test_patch_embed_fold_matches_host_normalize(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from vitcap_tpu.models.layers import patch_embed, patchify_host
+
+        P, C, H = 16, 3, 32
+        kernel = jnp.asarray(rng.randn(P, P, C, H), jnp.float32) * 0.02
+        bias = jnp.asarray(rng.randn(H), jnp.float32) * 0.02
+        p = {"kernel": kernel, "bias": bias}
+        raw = rng.randint(0, 256, (2, 64, 64, C)).astype(np.uint8)
+
+        # host path: normalize + patchify, float32 feed
+        norm = (raw.astype(np.float32) / 255.0 - 0.5) / 0.5
+        host = np.stack([patchify_host(x, P) for x in norm])
+        y_host = patch_embed(p, jnp.asarray(host))
+
+        # device path: raw bytes, folded normalization
+        y_dev = patch_embed(p, jnp.asarray(raw), compute_dtype=jnp.float32)
+
+        np.testing.assert_allclose(np.asarray(y_dev), np.asarray(y_host),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_transform_emit_uint8_matches_float(self):
+        from PIL import Image
+        from vitcap_tpu.data.transforms import TestImageTransform
+        rng = np.random.RandomState(3)
+        img = Image.fromarray(
+            rng.randint(0, 255, (100, 80, 3), dtype=np.uint8))
+        t_f = TestImageTransform(crop_size=64, crop_pct=0.875)
+        t_u = TestImageTransform(crop_size=64, crop_pct=0.875,
+                                 emit_uint8=True)
+        f = t_f(img)
+        u = t_u(img)
+        assert u.dtype == np.uint8 and u.shape == (64, 64, 3)
+        np.testing.assert_allclose(
+            f, (u.astype(np.float32) / 255.0 - 0.5) / 0.5, rtol=0, atol=0)
+
+    def test_encode_images_uint8_matches_float(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from vitcap_tpu.models.config import tiny_config
+        from vitcap_tpu.models import vitcap as M
+        from vitcap_tpu.models.layers import patchify_host
+
+        cfg = tiny_config()
+        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        raw = rng.randint(0, 256,
+                          (2, cfg.img_size, cfg.img_size, 3)).astype(np.uint8)
+        norm = (raw.astype(np.float32) / 255.0 - 0.5) / 0.5
+        host = np.stack([patchify_host(x, cfg.patch_size) for x in norm])
+
+        out_f = M.encode_images(params, jnp.asarray(host), cfg)
+        out_u = M.encode_images(params, jnp.asarray(raw), cfg)
+        np.testing.assert_allclose(np.asarray(out_u["visual"]),
+                                   np.asarray(out_f["visual"]),
+                                   rtol=1e-4, atol=1e-5)
+        assert np.array_equal(np.asarray(out_u["pred_topk"]),
+                              np.asarray(out_f["pred_topk"]))

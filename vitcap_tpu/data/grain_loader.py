@@ -80,12 +80,20 @@ class GrainDataLoader:
             def map(self, idx):
                 return self._ds[idx]
 
+        # Batch in the PARENT, not in a pg.Batch operation: operations run
+        # inside each worker process on its strided record subsequence, so
+        # per-worker batching emits worker_count partial batches per epoch
+        # (e.g. 8 workers x 256 records at batch 64 -> eight 32-row
+        # batches), breaking both the batch count and the jit-friendly
+        # static batch shape.  Grain's output stream is reassembled in
+        # sampler order regardless of worker_count, so chunking it here
+        # yields batches identical to the worker_count=0 run while the
+        # per-record preprocessing still parallelizes across workers.
+        self._collate = collate_fn
         self._loader = pg.DataLoader(
             data_source=_IndexSource(n),
             sampler=sampler,
-            operations=[_Fetch(dataset),
-                        pg.Batch(batch_size, drop_remainder=infinite,
-                                 batch_fn=collate_fn)],
+            operations=[_Fetch(dataset)],
             worker_count=num_workers,
             read_options=pg.ReadOptions(prefetch_buffer_size=read_buffer))
 
@@ -95,18 +103,23 @@ class GrainDataLoader:
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         it = iter(self._loader)
         for i in range(self._len):
+            buf = []
             try:
-                yield next(it)
+                while len(buf) < self.batch_size:
+                    buf.append(next(it))
             except StopIteration:
-                if not self._infinite:
-                    return                   # test epoch: remainder batch
-                raise RuntimeError(          # never silently under-train
-                    f"grain pipeline exhausted after {i} of {self._len} "
-                    f"batches")
+                if self._infinite:
+                    raise RuntimeError(      # never silently under-train
+                        f"grain pipeline exhausted after {i} of "
+                        f"{self._len} batches")
+                if not buf:
+                    return
+            yield self._collate(buf)
 
     def checkpointable_iter(self):
-        """Raw grain iterator (get_state/set_state for exact mid-epoch
-        checkpointing beyond the O(1) start_iter resume)."""
+        """Raw grain RECORD iterator (get_state/set_state for exact
+        mid-epoch checkpointing beyond the O(1) start_iter resume); the
+        caller batches `batch_size` records per step."""
         return iter(self._loader)
 
 

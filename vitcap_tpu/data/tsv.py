@@ -146,6 +146,20 @@ class TSVFile:
             self._local.fp.close()
             self._local.fp = None
 
+    def __getstate__(self):
+        """Picklable for process-based loaders (grain workers): drop the
+        per-thread handles and the offset memmap (a memmap would pickle by
+        VALUE — the whole index — and the handles not at all); both
+        rebuild lazily in the worker."""
+        state = self.__dict__.copy()
+        state["_local"] = None
+        state["_offsets"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._local = threading.local()
+
 
 class CompositeTSVFile:
     """A dataset sharded across many TSVs, indexed via a list file plus a

@@ -276,17 +276,34 @@ def cls_attention_scores(p: Params, x: jnp.ndarray, num_heads: int,
     return probs.mean(axis=1)[:, 0]          # (B, L)
 
 
-def patch_embed(p: Params, images: jnp.ndarray) -> jnp.ndarray:
-    """images (B, H, W, C) NHWC, or (B, N, P*P*C) pre-patchified on the
-    host -> patch tokens (B, N, H).
+def patch_embed(p: Params, images: jnp.ndarray,
+                compute_dtype=None, mean: float = 0.5,
+                std: float = 0.5) -> jnp.ndarray:
+    """images (B, H, W, C) NHWC float or UINT8, or (B, N, P*P*C)
+    pre-patchified on the host -> patch tokens (B, N, H).
 
     Math = conv stride=patch (reference PatchEmbed
     vision_transformer.py:253-275), computed as space-to-depth + matmul:
     XLA's conv lowering at C=3 wastes the MXU (measured ~30% slower), and
     a host-patchified input skips the device-side layout shuffle entirely.
-    """
+
+    uint8 input: the host input pipeline's `(x/255 - mean)/std`
+    normalization (reference transform.py Normalize) is FOLDED into the
+    projection — w' = w/(255*std), b' = b - (mean/std)*sum_rows(w) — so
+    raw camera bytes go straight to the MXU: zero extra device ops and
+    4x less host->device traffic than the float32 feed.  The fold is
+    exact linear algebra; only float-rounding order differs."""
     ph, pw, C, H = p["kernel"].shape
-    w = p["kernel"].reshape(ph * pw * C, H).astype(images.dtype)
+    if images.dtype == jnp.uint8:
+        dt = compute_dtype or jnp.float32
+        w32 = p["kernel"].reshape(ph * pw * C, H).astype(jnp.float32)
+        w = (w32 / (255.0 * std)).astype(dt)
+        b = (p["bias"].astype(jnp.float32)
+             - (mean / std) * w32.sum(0)).astype(dt)
+    else:
+        dt = images.dtype
+        w = p["kernel"].reshape(ph * pw * C, H).astype(dt)
+        b = p["bias"].astype(dt)
     if images.ndim == 3:                       # already (B, N, ph*pw*C)
         x = images
     else:
@@ -294,8 +311,8 @@ def patch_embed(p: Params, images: jnp.ndarray) -> jnp.ndarray:
         gh, gw = ih // ph, iw // pw
         x = images.reshape(B, gh, ph, gw, pw, C).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(B, gh * gw, ph * pw * C)
-    y = jnp.dot(x, w, preferred_element_type=images.dtype)
-    return y + p["bias"].astype(images.dtype)
+    y = jnp.dot(x.astype(dt), w, preferred_element_type=dt)
+    return y + b
 
 
 def patchify_host(image_hwc, patch: int):
@@ -324,12 +341,13 @@ def interpolate_pos_embed(pos_embed: jnp.ndarray, new_grid: Tuple[int, int],
     return jnp.concatenate([cls_pe, grid_pe], axis=1)
 
 
-def vision_embed(p: Params, images: jnp.ndarray,
-                 patch_size: int) -> jnp.ndarray:
+def vision_embed(p: Params, images: jnp.ndarray, patch_size: int,
+                 compute_dtype=None) -> jnp.ndarray:
     """Full 'image encoder' of the reference live path: patch-embed + CLS +
     (interpolated) pos-embed; no blocks, no norm
-    (…bertemb.py get_image_encoder_model :750-778)."""
-    tokens = patch_embed(p["patch_proj"], images)
+    (…bertemb.py get_image_encoder_model :750-778).
+    compute_dtype only matters for uint8 images (see patch_embed)."""
+    tokens = patch_embed(p["patch_proj"], images, compute_dtype)
     B, N, H = tokens.shape
     cls_tok = jnp.broadcast_to(p["cls_token"].astype(tokens.dtype), (B, 1, H))
     x = jnp.concatenate([cls_tok, tokens], axis=1)

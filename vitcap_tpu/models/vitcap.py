@@ -348,8 +348,10 @@ def encode_images(params: Params, images: jnp.ndarray, cfg: ModelConfig,
     visual_token_idx: optional (B, keep) token subset (TokenSample) applied
     AFTER pos-embed, so the trunk runs on fewer tokens."""
     dtype = cfg.compute_dtype
-    visual_in = vision_embed(params["image_encoder"],
-                             images.astype(dtype), cfg.patch_size)
+    if images.dtype != jnp.uint8:       # uint8 feeds keep their bytes; the
+        images = images.astype(dtype)   # normalization folds into the
+    visual_in = vision_embed(params["image_encoder"],   # patch projection
+                             images, cfg.patch_size, compute_dtype=dtype)
     if visual_token_idx is not None:
         visual_in = jnp.take_along_axis(
             visual_in, visual_token_idx[..., None], axis=1)

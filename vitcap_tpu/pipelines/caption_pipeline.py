@@ -234,19 +234,31 @@ class CaptionUniPipeline(UniPipeline):
         data = self.cfg.data if is_train else self.cfg.test_data
         split = "train" if is_train else self.cfg.test_split
         root = self.cfg.data_root
-        # pre-patchify on the host by default: device-side space-to-depth
-        # at C=3 is lane-starved on TPU (models/layers.py patch_embed)
-        patch = self.model_cfg.patch_size \
-            if (self.cfg.get("prepatchify") in (None, True, 1)) else 0
+        # image feed layout (host cost matters: production TPU-VM hosts
+        # have many cores, but the loader must not waste them):
+        #   uint8 (default) — raw HWC bytes to the device; normalization
+        #     folds into the patch projection (layers.py patch_embed) and
+        #     space-to-depth runs on device.  4x less host->device bytes,
+        #     zero host float math.
+        #   patchified — host normalize + space-to-depth (float32 feed);
+        #     legacy default, also `prepatchify: 1`.
+        #   hwc_float — host normalize only (`prepatchify: 0`).
+        feed = self.cfg.get("image_feed")
+        if feed is None:
+            pp = self.cfg.get("prepatchify")
+            feed = "uint8" if pp is None else \
+                ("patchified" if pp in (True, 1) else "hwc_float")
+        patch = self.model_cfg.patch_size if feed == "patchified" else 0
+        u8 = feed == "uint8"
         if is_train:
             img_t = TrainImageTransform(
                 crop_size=self.cfg.train_crop_size,
                 small_scale=self.cfg.input_small_scale,
-                patchify=patch)
+                patchify=patch, emit_uint8=u8)
         else:
             img_t = TestImageTransform(crop_size=self.cfg.test_crop_size,
                                        crop_pct=self.cfg.crop_pct,
-                                       patchify=patch)
+                                       patchify=patch, emit_uint8=u8)
         ops = [LoadHW(data, split, data_root=root),
                LoadImage(data, split, image_transform=img_t, data_root=root)]
         if is_train:
@@ -572,9 +584,10 @@ class CaptionUniPipeline(UniPipeline):
         for batch in loader:
             rng, sub = jax.random.split(rng)
             input_ids = np.asarray(batch["input_ids"])
+            img = np.asarray(batch["image"])
             dev = shard_batch({
-                "image": jnp.asarray(np.asarray(batch["image"]),
-                                     jnp.float32),
+                "image": jnp.asarray(
+                    img, None if img.dtype == np.uint8 else jnp.float32),
                 "od_ids": jnp.asarray(input_ids[:, A:]),
                 "seq_len": jnp.asarray(np.asarray(batch["seq_len"])),
             }, mesh)
@@ -624,7 +637,11 @@ class CaptionUniPipeline(UniPipeline):
         for k in keep:
             v = batch[k]
             if k == "image":
-                dev[k] = jnp.asarray(np.asarray(v), jnp.float32)
+                a = np.asarray(v)
+                # uint8 feeds stay uint8 (normalization folds into the
+                # patch projection on device); float feeds go up to f32
+                dev[k] = jnp.asarray(
+                    a, None if a.dtype == np.uint8 else jnp.float32)
             else:
                 dev[k] = jnp.asarray(np.asarray(v))
         return shard_batch(dev, mesh)
@@ -710,11 +727,21 @@ class CaptionUniPipeline(UniPipeline):
             params = jax.device_put(params, replicated(mesh))
             b_shard = batch_sharding(mesh)
 
-        @partial(jax.jit, static_argnums=())
-        def run(params, images, od_ids, tt, seq_len, rng):
-            out = D.generate(params, images, od_ids, tt, seq_len, cfg, opts,
-                             rng=rng)
-            return out["ids"], out["logprobs"]
+        # cache the jitted decode across predict_iter calls: a fresh
+        # closure per call would RE-TRACE the whole decode graph (tens of
+        # seconds of host work) every predict, even with the persistent
+        # XLA cache serving the compile
+        jit_key = (repr(cfg), repr(opts))
+        cached = getattr(self, "_predict_jit", None)
+        if cached is not None and cached[0] == jit_key:
+            run = cached[1]
+        else:
+            @partial(jax.jit, static_argnums=())
+            def run(params, images, od_ids, tt, seq_len, rng):
+                out = D.generate(params, images, od_ids, tt, seq_len, cfg,
+                                 opts, rng=rng)
+                return out["ids"], out["logprobs"]
+            self._predict_jit = (jit_key, run)
 
         pred_rng = jax.random.PRNGKey(int(self.cfg.random_seed) + 7)
 
@@ -760,7 +787,9 @@ class CaptionUniPipeline(UniPipeline):
 
         for batch in dataloader:
             t0 = time.time()
-            images = np.asarray(batch["image"], np.float32)
+            images = np.asarray(batch["image"])
+            if images.dtype != np.uint8:
+                images = images.astype(np.float32, copy=False)
             input_ids = np.asarray(batch["input_ids"])
             tt = np.asarray(batch["token_type_ids"])
             seq_len = np.asarray(batch["seq_len"])
