@@ -141,10 +141,12 @@ def main():
         "vs_baseline": round(beam_rate / (v100_rate / 3.0), 2),
     }), flush=True)
 
-    # training step, B=64 bf16 remat on (the production memory config)
+    # training step, B=64 bf16, remat 'auto' (= OFF with the Pallas
+    # one-pass attention backward: no stored probs, full activations fit)
     from vitcap_tpu.solver.train_step import (
         TrainHyper, init_train_state, make_jitted_train_step)
-    tcfg = ModelConfig(dtype="bfloat16", remat=True, tag_loss_weight=1.0)
+    tcfg = ModelConfig(dtype="bfloat16", remat="auto",
+                       tag_loss_weight=1.0)
     T = tcfg.max_seq_len
     batch = {
         "image": images,
@@ -175,7 +177,7 @@ def main():
     # over fwd+bwd (~3x fwd) of the full model at seq 70 + 577 visual
     train_flops = 3 * _train_fwd_flops(tcfg)
     print(json.dumps({
-        "metric": f"train img/s/chip (B={B} bf16 remat)",
+        "metric": f"train img/s/chip (B={B} bf16)",
         "value": round(train_rate, 2),
         "unit": "img/s",
         "vs_baseline": round(train_rate / (40e12 / train_flops), 2),

@@ -1,6 +1,6 @@
 """Training-step throughput benchmark on the real chip (B=64 bf16).
 
-Usage: python benchmarks/bench_train.py [--remat 0|1] [--batch 64]
+Usage: python benchmarks/bench_train.py [--remat 0|1|auto] [--batch 64]
        [--profile DIR] [--steps 8]
 Prints one JSON line {"metric", "value", "unit"}.
 """
@@ -18,7 +18,9 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--remat", type=int, default=1)
+    ap.add_argument("--remat", default="auto",
+                    help="1 | 0 | auto (auto = off when the Pallas\n"
+                         "attention backward is active)")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--profile", default=None)
@@ -36,7 +38,8 @@ def main():
         TrainHyper, init_train_state, make_jitted_train_step)
     from vitcap_tpu.models import vitcap as M
 
-    cfg = ModelConfig(dtype="bfloat16", remat=bool(args.remat),
+    remat = args.remat if args.remat == "auto" else bool(int(args.remat))
+    cfg = ModelConfig(dtype="bfloat16", remat=remat,
                       scores_dtype=args.scores_dtype, tag_loss_weight=1.0)
     B = args.batch
     T = cfg.max_seq_len
@@ -78,7 +81,7 @@ def main():
         jax.profiler.stop_trace()
 
     print(json.dumps({
-        "metric": f"train img/s/chip (B={B} bf16 remat={bool(args.remat)})",
+        "metric": f"train img/s/chip (B={B} bf16 remat={args.remat})",
         "value": round(B / dt, 2),
         "unit": "img/s",
         "loss": round(loss, 4),

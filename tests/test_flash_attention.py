@@ -334,3 +334,100 @@ class TestFusedVitAttn:
                         jax.tree_util.tree_leaves(gf)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-4)
+
+
+class TestKernelDropout:
+    """In-kernel attention-prob dropout (counter-hash mask, regenerated in
+    the backward — reference BertSelfAttention dropout,
+    modeling_bert.py:139-141)."""
+
+    def _qkv(self, B=2, L=80, H=32):
+        rs = np.random.RandomState(1)
+        return tuple(jnp.asarray(rs.randn(B, L, H), jnp.float32)
+                     for _ in range(3))
+
+    def test_deterministic_per_seed(self):
+        from vitcap_tpu.ops.flash_attention import flash_attention_packed
+        q, k, v = self._qkv()
+        s1 = jnp.asarray(42, jnp.int32)
+        a = flash_attention_packed(q, k, v, None, s1, 4, True, 0.3)
+        b = flash_attention_packed(q, k, v, None, s1, 4, True, 0.3)
+        c = flash_attention_packed(q, k, v, None,
+                                   jnp.asarray(7, jnp.int32), 4, True, 0.3)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+    def test_rate_zero_matches_no_dropout(self):
+        from vitcap_tpu.ops.flash_attention import flash_attention_packed
+        q, k, v = self._qkv()
+        s = jnp.asarray(5, jnp.int32)
+        a = flash_attention_packed(q, k, v, None, s, 4, True, 0.0)
+        b = flash_attention_packed(q, k, v, None, s, 4, True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_drop_fraction(self):
+        """With v = identity columns the output row recovers the dropped
+        probability mass; the kept fraction must track 1 - rate."""
+        from vitcap_tpu.ops.flash_attention import flash_attention_packed
+        B, L, H, nh = 1, 128, 128, 1
+        rs = np.random.RandomState(2)
+        q = jnp.asarray(rs.randn(B, L, H), jnp.float32) * 0.0
+        k = jnp.asarray(rs.randn(B, L, H), jnp.float32) * 0.0
+        # uniform probs 1/L per (q, key); v = I so out[q, j] = Pd[q, j]
+        v = jnp.eye(L, H)[None]
+        rate = 0.25
+        out = flash_attention_packed(q, k, v, None,
+                                     jnp.asarray(3, jnp.int32), nh, True,
+                                     rate)
+        probs = np.asarray(out)[0] * (1 - rate) * L   # back to keep-mask
+        kept = probs > 0.5
+        frac = kept.mean()
+        assert abs(frac - (1 - rate)) < 0.03, frac
+        # kept entries carry the inverse-scaled uniform mass
+        np.testing.assert_allclose(probs[kept], 1.0, rtol=1e-4)
+
+    def test_grad_matches_finite_difference(self):
+        """Directional finite differences of the seed-fixed forward vs the
+        custom backward: proves the backward regenerates the forward's
+        exact mask and the dropout-softmax chain rule."""
+        from vitcap_tpu.ops.flash_attention import flash_attention_packed
+        B, L, H, nh = 1, 64, 16, 2
+        rs = np.random.RandomState(3)
+        q, k, v = (jnp.asarray(rs.randn(B, L, H), jnp.float32)
+                   for _ in range(3))
+        co = jnp.asarray(rs.randn(B, L, H), jnp.float32)
+        s = jnp.asarray(11, jnp.int32)
+
+        def f(q, k, v):
+            return jnp.sum(co * flash_attention_packed(
+                q, k, v, None, s, nh, True, 0.2))
+
+        grads = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        eps = 1e-3
+        for idx, g in enumerate(grads):
+            d = jnp.asarray(rs.randn(B, L, H), jnp.float32)
+            args_p = [q, k, v]; args_m = [q, k, v]
+            args_p[idx] = args_p[idx] + eps * d
+            args_m[idx] = args_m[idx] - eps * d
+            num = (f(*args_p) - f(*args_m)) / (2 * eps)
+            ana = jnp.sum(g * d)
+            np.testing.assert_allclose(float(num), float(ana),
+                                       rtol=2e-3, atol=2e-3)
+
+    def test_mha_dropout_routes_packed(self, monkeypatch):
+        """mha with dropout active + interpret backend returns a dropout
+        draw (differs from deterministic), and grads flow."""
+        from vitcap_tpu.models.layers import mha
+        q, k, v = self._qkv()
+        monkeypatch.setenv("VITCAP_TRAIN_PALLAS", "interpret")
+        rng = jax.random.PRNGKey(0)
+        out_det = mha(q, k, v, 4, deterministic=True)
+        out_drop = mha(q, k, v, 4, dropout_rate=0.2, rng=rng,
+                       deterministic=False)
+        assert not np.allclose(np.asarray(out_det), np.asarray(out_drop))
+
+        def loss(q):
+            return jnp.sum(mha(q, k, v, 4, dropout_rate=0.2, rng=rng,
+                               deterministic=False) ** 2)
+        g = jax.grad(loss)(q)
+        assert np.isfinite(np.asarray(g)).all()

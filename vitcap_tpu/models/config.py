@@ -10,7 +10,7 @@ argument.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -96,10 +96,21 @@ class ModelConfig:
                                          # attention, ~1e-2 output noise —
                                          # comparable to the reference's fp16
                                          # AMP score matmul); 'f32' = exact
-    remat: bool = True                   # jax.checkpoint each transformer
-                                         # block: without it the saved
-                                         # attention-prob activations alone
-                                         # exceed HBM at training batch sizes
+    remat: Any = "auto"                  # jax.checkpoint each transformer
+                                         # block: True | False | 'auto'.
+                                         # With XLA attention the saved
+                                         # (B, nh, L, L) prob activations
+                                         # alone exceed HBM at training
+                                         # batch sizes -> remat needed; the
+                                         # Pallas one-pass backward never
+                                         # stores probs, so full activation
+                                         # storage fits and remat's ~1/3
+                                         # recompute FLOPs are pure loss
+                                         # (measured B=64 bf16 v5e: 110.8
+                                         # img/s remat vs 134.9 without).
+                                         # 'auto' = False when the Pallas
+                                         # train attention is active
+                                         # (TPU), True otherwise.
                                          # (no-op for forward-only jits)
     train_fused_blocks: bool = False     # route the TRAIN-time trunk
                                          # forward through the fused Pallas
@@ -133,6 +144,17 @@ class ModelConfig:
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def use_remat(self) -> bool:
+        """Resolve the remat tri-state (see the `remat` field): 'auto'
+        rematerializes only when the XLA attention backward (which stores
+        the (B, nh, L, L) probs) is in play."""
+        if self.remat == "auto":
+            from ..ops import train_attention_backend
+            return train_attention_backend() == "xla"
+        return bool(self.remat)
+
 
     @property
     def num_patches(self) -> int:

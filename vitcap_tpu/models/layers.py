@@ -121,7 +121,7 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
     hd = H // num_heads
 
     use_dropout = not (deterministic or dropout_rate == 0.0 or rng is None)
-    if Lq == Lk and Lq >= 64 and not use_dropout:
+    if Lq == Lk and Lq >= 64:
         from ..ops import attention_backend, train_attention_backend
         backend = attention_backend()
         if backend == "xla" and (bias is None or bias.shape[1] == 1):
@@ -130,13 +130,24 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
             # attention backward re-reads the materialized (B, nh, L, L)
             # probs, and the (B, L, H) <-> (B, nh, L, dh) head transposes
             # around per-head kernels move 64-wide minor chunks at
-            # ~20 GB/s — the packed kernels avoid both.
+            # ~20 GB/s — the packed kernels avoid both.  Attention-prob
+            # dropout runs INSIDE the kernel (counter-hash mask, same
+            # bits regenerated in the backward), so the reference's
+            # dropout=0.1 training config gets the fused path too.
             tb = train_attention_backend()
             if tb != "xla":
                 from ..ops.flash_attention import flash_attention_packed
-                return flash_attention_packed(q, k, v, bias, num_heads,
+                if use_dropout:
+                    seed = jax.lax.bitcast_convert_type(
+                        jax.random.bits(rng, (), jnp.uint32), jnp.int32)
+                    return flash_attention_packed(
+                        q, k, v, bias, seed, num_heads,
+                        tb == "pallas_interpret", float(dropout_rate))
+                return flash_attention_packed(q, k, v, bias,
+                                              jnp.zeros((), jnp.int32),
+                                              num_heads,
                                               tb == "pallas_interpret")
-        if backend != "xla":
+        if backend != "xla" and not use_dropout:
             from ..ops.flash_attention import flash_attention
             qh = q.reshape(B, Lq, num_heads, hd).transpose(0, 2, 1, 3)
             kh = k.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)

@@ -251,7 +251,7 @@ def split_encoder(params: Params, visual_in: jnp.ndarray, cfg: ModelConfig
         from .layers import vit_block_cls_only
         return vit_block_cls_only(blk, x, cfg.num_attention_heads,
                                   cfg.vit_layer_norm_eps, scores_dtype=sd)
-    if cfg.remat:
+    if cfg.use_remat:
         if not train_fused:
             blk_fn = jax.checkpoint(blk_fn, static_argnums=(2,))
         cls_fn = jax.checkpoint(cls_fn)
@@ -395,7 +395,7 @@ def fusion_decoder(params: Params, seq: jnp.ndarray, bias: jnp.ndarray,
                           attn_dropout=cfg.attention_probs_dropout_prob,
                           rng=lrng, deterministic=deterministic,
                           scores_dtype=cfg.attention_scores_dtype)
-    if cfg.remat:
+    if cfg.use_remat:
         layer_fn = jax.checkpoint(layer_fn)
     x = seq
     for li, layer in enumerate(params["decoder"]["layer"]):

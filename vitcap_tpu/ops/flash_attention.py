@@ -37,6 +37,30 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _dropout_keep(seed_u32, salt: jnp.ndarray, rate: float, shape):
+    """Counter-based keep mask for attention-prob dropout (reference
+    BertSelfAttention's nn.Dropout on the softmax probs,
+    modeling_bert.py:139-141,176).
+
+    Stateless murmur3-fmix32 hash over the (row, col) lattice + seed +
+    salt: plain integer VPU ops, so the SAME bits regenerate in the
+    backward kernel (no mask tensor ever touches HBM) and the code runs
+    identically under interpret mode (pltpu.prng_* has no interpret
+    lowering).  Quality is ample for dropout."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = (r * jnp.uint32(0x9E3779B9) + c * jnp.uint32(0x85EBCA6B)
+         + seed_u32 + salt.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35))
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    # keep with prob (1 - rate): uniform u32 >= rate * 2^32
+    thresh = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return x >= thresh
+
+
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, n_k_tiles: int,
             tk: int, scale: float, l_actual: int):
     TK = tk
@@ -152,6 +176,8 @@ def _flash_fwd_onepass(q, k, v, bias, interpret: bool) -> jnp.ndarray:
         in_specs=in_specs,
         out_specs=spec,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
     out = out.reshape(B, nH, Lp, dh)
     return out[:, :, :L] if pad else out
@@ -223,6 +249,8 @@ def _flash_fwd_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_specs=pl.BlockSpec((1, TQ, dh), lambda b, h, i: (b * nH + h, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
     out = out.reshape(B, nH, Lp, dh)
     return out[:, :, :L] if pad else out
@@ -337,6 +365,8 @@ def _flash_bwd_onepass(q, k, v, bias, g, interpret: bool):
         in_specs=in_specs,
         out_specs=(spec, spec, spec),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
     out = [a.reshape(B, nH, Lp, dh) for a in (dq, dk, dv)]
     if pad:
@@ -354,8 +384,9 @@ def _flash_bwd_onepass(q, k, v, bias, g, interpret: bool):
 # pad copies, ~110 ms/step at B=64.  These kernels take the packed layout
 # directly and slice each head's dh columns inside VMEM.
 
-def _fwd_packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads: int,
-                       dh: int, scale: float, l_actual: int, lp: int):
+def _fwd_packed_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *,
+                       heads: int, dh: int, scale: float, l_actual: int,
+                       lp: int, rate: float, nh: int, hpg: int):
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
         q = q_ref[0, :, sl]                                  # (Lp, dh)
@@ -371,14 +402,24 @@ def _fwd_packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads: int,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
+        if rate > 0.0:
+            # dropout AFTER normalization: out = (mask o softmax) @ v;
+            # l is the pre-dropout denominator, so masking the numerator
+            # before the divide is equivalent.  Salt = global head index
+            # (grouping-independent: fwd unrolls 4 heads/cell, bwd 2).
+            ghead = pl.program_id(0) * nh + pl.program_id(1) * hpg + h
+            keep = _dropout_keep(seed_ref[0].astype(jnp.uint32),
+                                 jnp.int32(ghead), rate, p.shape)
+            p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - rate))
         o = jnp.dot(p.astype(v_ref.dtype), v_ref[0, :, sl],
                     preferred_element_type=jnp.float32)
         o_ref[0, :, sl] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _bwd_packed_kernel(q_ref, k_ref, v_ref, g_ref, bias_ref,
+def _bwd_packed_kernel(q_ref, k_ref, v_ref, g_ref, bias_ref, seed_ref,
                        dq_ref, dk_ref, dv_ref, *, heads: int, dh: int,
-                       scale: float, l_actual: int, lp: int):
+                       scale: float, l_actual: int, lp: int, rate: float,
+                       nh: int, hpg: int):
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
         q = q_ref[0, :, sl]
@@ -397,11 +438,24 @@ def _bwd_packed_kernel(q_ref, k_ref, v_ref, g_ref, bias_ref,
         e = jnp.exp(s - m)
         l = jnp.sum(e, axis=-1, keepdims=True)
         p = e / jnp.maximum(l, 1e-30)
-        pb = p.astype(v.dtype)
-        dv = jax.lax.dot_general(pb, g, (((0,), (0,)), ((), ())),
+        if rate > 0.0:
+            # regenerate the forward's exact mask (same seed/salt/hash);
+            # pd = dropout(p) feeds dV, and the dropout chain applies to
+            # dP before the softmax backward in p
+            ghead = pl.program_id(0) * nh + pl.program_id(1) * hpg + h
+            keep = _dropout_keep(seed_ref[0].astype(jnp.uint32),
+                                 jnp.int32(ghead), rate, p.shape)
+            inv = 1.0 / (1.0 - rate)
+            pd = jnp.where(keep, p, 0.0) * inv
+        else:
+            pd = p
+        dv = jax.lax.dot_general(pd.astype(v.dtype), g,
+                                 (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            dp = jnp.where(keep, dp, 0.0) * inv
         r = jnp.sum(dp * p, axis=-1, keepdims=True)
         ds = (p * (dp - r)).astype(q.dtype)
         dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
@@ -428,7 +482,11 @@ def _packed_specs(B, Lp, H, ng, Hg, bias, heads_per_group):
     return spec, bspec
 
 
-def _flash_fwd_packed(q, k, v, bias, nh, interpret):
+def _seed_spec(ng):
+    return pl.BlockSpec((1,), lambda b, g: (0,), memory_space=pltpu.SMEM)
+
+
+def _flash_fwd_packed(q, k, v, bias, seed, nh, interpret, rate=0.0):
     """q/k/v: (B, L, H=nh*dh); bias None or (B, 1, L, L) per-image."""
     B, L, H = q.shape
     dh = H // nh
@@ -446,18 +504,21 @@ def _flash_fwd_packed(q, k, v, bias, nh, interpret):
     Hg = hpg * dh
     spec, bspec = _packed_specs(B, Lp, H, ng, Hg, bias, hpg)
     kern = functools.partial(_fwd_packed_kernel, heads=hpg, dh=dh,
-                             scale=scale, l_actual=L, lp=Lp)
+                             scale=scale, l_actual=L, lp=Lp, rate=rate,
+                             nh=nh, hpg=hpg)
 
     def body(*refs):
         if bias is not None:
-            q_r, k_r, v_r, b_r, o_r = refs
-            kern(q_r, k_r, v_r, b_r, o_r)
+            q_r, k_r, v_r, b_r, s_r, o_r = refs
+            kern(q_r, k_r, v_r, b_r, s_r, o_r)
         else:
-            q_r, k_r, v_r, o_r = refs
-            kern(q_r, k_r, v_r, None, o_r)
+            q_r, k_r, v_r, s_r, o_r = refs
+            kern(q_r, k_r, v_r, None, s_r, o_r)
 
-    in_specs = [spec, spec, spec] + ([bspec] if bias is not None else [])
-    args = [q, k, v] + ([bias] if bias is not None else [])
+    in_specs = [spec, spec, spec] \
+        + ([bspec] if bias is not None else []) + [_seed_spec(ng)]
+    args = [q, k, v] + ([bias] if bias is not None else []) \
+        + [jnp.reshape(seed, (1,)).astype(jnp.int32)]
     out = pl.pallas_call(
         body,
         out_shape=jax.ShapeDtypeStruct((B, Lp, H), q.dtype),
@@ -465,11 +526,13 @@ def _flash_fwd_packed(q, k, v, bias, nh, interpret):
         in_specs=in_specs,
         out_specs=spec,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
     return out[:, :L] if Lp > L else out
 
 
-def _flash_bwd_packed(q, k, v, bias, g, nh, interpret):
+def _flash_bwd_packed(q, k, v, bias, seed, g, nh, interpret, rate=0.0):
     B, L, H = q.shape
     dh = H // nh
     scale = dh ** -0.5
@@ -486,18 +549,21 @@ def _flash_bwd_packed(q, k, v, bias, g, nh, interpret):
     Hg = hpg * dh
     spec, bspec = _packed_specs(B, Lp, H, ng, Hg, bias, hpg)
     kern = functools.partial(_bwd_packed_kernel, heads=hpg, dh=dh,
-                             scale=scale, l_actual=L, lp=Lp)
+                             scale=scale, l_actual=L, lp=Lp, rate=rate,
+                             nh=nh, hpg=hpg)
 
     def body(*refs):
         if bias is not None:
-            q_r, k_r, v_r, g_r, b_r, dq_r, dk_r, dv_r = refs
-            kern(q_r, k_r, v_r, g_r, b_r, dq_r, dk_r, dv_r)
+            q_r, k_r, v_r, g_r, b_r, s_r, dq_r, dk_r, dv_r = refs
+            kern(q_r, k_r, v_r, g_r, b_r, s_r, dq_r, dk_r, dv_r)
         else:
-            q_r, k_r, v_r, g_r, dq_r, dk_r, dv_r = refs
-            kern(q_r, k_r, v_r, g_r, None, dq_r, dk_r, dv_r)
+            q_r, k_r, v_r, g_r, s_r, dq_r, dk_r, dv_r = refs
+            kern(q_r, k_r, v_r, g_r, None, s_r, dq_r, dk_r, dv_r)
 
-    in_specs = [spec] * 4 + ([bspec] if bias is not None else [])
-    args = [q, k, v, g] + ([bias] if bias is not None else [])
+    in_specs = [spec] * 4 \
+        + ([bspec] if bias is not None else []) + [_seed_spec(ng)]
+    args = [q, k, v, g] + ([bias] if bias is not None else []) \
+        + [jnp.reshape(seed, (1,)).astype(jnp.int32)]
     oshape = jax.ShapeDtypeStruct((B, Lp, H), q.dtype)
     dq, dk, dv = pl.pallas_call(
         body,
@@ -506,31 +572,46 @@ def _flash_bwd_packed(q, k, v, bias, g, nh, interpret):
         in_specs=in_specs,
         out_specs=(spec, spec, spec),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
     if Lp > L:
         dq, dk, dv = dq[:, :L], dk[:, :L], dv[:, :L]
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def flash_attention_packed(q, k, v, bias, num_heads, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_attention_packed(q, k, v, bias, seed, num_heads,
+                           interpret=False, dropout_rate=0.0):
     """Packed-layout fused attention: q/k/v (B, L, H), bias None or
-    (B, 1, L, L) additive, returns (B, L, H).  No head transposes touch
-    HBM in either direction; backward is the one-pass Pallas
-    recompute kernel."""
-    return _flash_fwd_packed(q, k, v, bias, num_heads, interpret)
+    (B, 1, L, L) additive, seed an int32 scalar array (ignored when
+    dropout_rate == 0), returns (B, L, H).  No head transposes touch HBM
+    in either direction; backward is the one-pass Pallas recompute
+    kernel.
+
+    dropout_rate > 0 applies attention-prob dropout (reference
+    BertSelfAttention modeling_bert.py:139-141) INSIDE the kernel via a
+    counter-based hash seeded by `seed`: the backward regenerates the
+    identical mask, so no (B, nh, L, L) mask or prob tensor ever exists
+    in HBM."""
+    return _flash_fwd_packed(q, k, v, bias, seed, num_heads, interpret,
+                             dropout_rate)
 
 
-def _packed_fwd(q, k, v, bias, num_heads, interpret):
-    return _flash_fwd_packed(q, k, v, bias, num_heads, interpret), \
-        (q, k, v, bias)
+def _packed_fwd(q, k, v, bias, seed, num_heads, interpret, dropout_rate):
+    out = _flash_fwd_packed(q, k, v, bias, seed, num_heads, interpret,
+                            dropout_rate)
+    return out, (q, k, v, bias, seed)
 
 
-def _packed_bwd(num_heads, interpret, res, gout):
-    q, k, v, bias = res
-    dq, dk, dv = _flash_bwd_packed(q, k, v, bias, gout, num_heads,
-                                   interpret)
-    return dq, dk, dv, (None if bias is None else jnp.zeros_like(bias))
+def _packed_bwd(num_heads, interpret, dropout_rate, res, gout):
+    q, k, v, bias, seed = res
+    dq, dk, dv = _flash_bwd_packed(q, k, v, bias, seed, gout, num_heads,
+                                   interpret, dropout_rate)
+    import numpy as _np
+    dseed = _np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, (None if bias is None else jnp.zeros_like(bias)), \
+        dseed
 
 
 flash_attention_packed.defvjp(_packed_fwd, _packed_bwd)
