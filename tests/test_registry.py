@@ -251,3 +251,88 @@ def test_model_config_json_roundtrip(tmp_path):
     (d / "config.json").write_text(json.dumps(raw))
     back2 = ModelConfig.from_pretrained(str(d), topk=9)
     assert back2.topk == 9 and back2.hidden_size == 64
+
+
+class TestZooBreadth:
+    """Reference-zoo names (vision_transformer.py:1229-1530) incl. the
+    old-timm 'small', in21k pre_logits heads, and distilled deit."""
+
+    def test_reference_names_registered(self):
+        names = R.list_models()
+        for n in ["vit_small_patch16_224", "vit_large_patch32_224",
+                  "vit_base_patch16_224_in21k", "vit_base_patch32_224_in21k",
+                  "vit_large_patch16_224_in21k",
+                  "vit_large_patch32_224_in21k", "vit_huge_patch14_224_in21k",
+                  "vit_deit_tiny_patch16_224", "vit_deit_small_patch16_224",
+                  "vit_deit_base_patch16_224", "vit_deit_base_patch16_384",
+                  "vit_deit_tiny_distilled_patch16_224",
+                  "vit_deit_small_distilled_patch16_224",
+                  "vit_deit_base_distilled_patch16_224",
+                  "vit_deit_base_distilled_patch16_384"]:
+            assert n in names, n
+        assert len(names) >= 28
+
+    def test_old_small_spec(self):
+        s = R.model_spec("vit_small_patch16_224")
+        assert (s.hidden_size, s.depth, s.num_heads) == (768, 8, 8)
+        assert s.mlp_ratio == 3.0 and not s.qkv_bias
+
+    def test_distilled_forward_shapes(self):
+        m = R.create_model("vit_deit_tiny_distilled_patch16_224",
+                           img_size=32, num_classes=10)
+        x = jnp.zeros((2, 32, 32, 3))
+        feats = m.apply(m.params, x)
+        assert feats.shape == (2, 2 + 4, 192)       # CLS + dist + 2x2
+        logits = m.apply(m.params, x, head=True)
+        assert logits.shape == (2, 10)
+
+    def test_in21k_head_shapes(self):
+        m = R.create_model("vit_base_patch16_224_in21k", img_size=32)
+        assert "pre_logits" in m.params
+        logits = m.apply(m.params, jnp.zeros((1, 32, 32, 3)), head=True)
+        assert logits.shape == (1, 21843)
+
+
+@pytest.mark.slow
+class TestReferenceTimmParity:
+    """Golden parity vs the reference's VENDORED timm (random torch
+    weights exported -> loaded via load_timm_checkpoint -> forwards
+    compared)."""
+
+    def _torch_model(self, name, **kw):
+        from reference_harness import install
+        install()
+        import torch
+        from timm.models import vision_transformer as V
+        torch.manual_seed(0)
+        m = getattr(V, name)(pretrained=False, **kw)
+        m.eval()
+        return m
+
+    def _compare(self, name, img=224, atol=2e-4, **kw):
+        import torch
+        tm = self._torch_model(name, **kw)
+        sd = {k: v for k, v in tm.state_dict().items()}
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt, img_size=img)
+        rng = np.random.RandomState(0)
+        x = rng.randn(1, img, img, 3).astype(np.float32)
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        if isinstance(t_out, tuple):        # distilled train-mode return
+            t_out = (t_out[0] + t_out[1]) / 2
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out),
+                                   t_out.numpy(), rtol=2e-3, atol=atol)
+
+    def test_deit_tiny_distilled_parity(self):
+        self._compare("vit_deit_tiny_distilled_patch16_224")
+
+    def test_old_small_parity(self):
+        self._compare("vit_small_patch16_224")
+
+    def test_in21k_base32_parity(self):
+        self._compare("vit_base_patch32_224_in21k")

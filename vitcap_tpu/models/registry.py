@@ -30,7 +30,7 @@ from typing import Any, Callable, Dict, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .layers import (dense, interpolate_pos_embed, layer_norm, vision_embed,
+from .layers import (dense, layer_norm, vision_embed,
                      vit_block)
 
 Params = Dict[str, Any]
@@ -50,12 +50,27 @@ class VisionModelSpec:
     img_size: int = 224
     ln_eps: float = 1e-6
     num_classes: int = 1000
-    distilled: bool = False        # deit distillation token (unused token
-                                   # slot kept for checkpoint compat)
+    distilled: bool = False        # deit distillation token: extra token
+                                   # slot after CLS, pos_embed grid+2, and
+                                   # a head_dist classifier averaged with
+                                   # head at eval (reference
+                                   # DistilledVisionTransformer
+                                   # vision_transformer.py:505-550)
+    representation_size: int = 0   # in21k checkpoints: pre_logits
+                                   # Linear+tanh between CLS and head
+                                   # (reference vision_transformer.py:355)
+    qkv_bias: bool = True          # old-timm 'small' has no qkv bias; we
+                                   # keep a zero bias tensor (functionally
+                                   # identical) and the loader skips the
+                                   # absent torch key
 
     @property
     def intermediate_size(self) -> int:
         return int(self.hidden_size * self.mlp_ratio)
+
+    @property
+    def num_lead_tokens(self) -> int:
+        return 2 if self.distilled else 1
 
     @property
     def grid(self) -> int:
@@ -100,11 +115,18 @@ def vit_tiny_patch16_224(**kw):
 
 @register_model
 def vit_small_patch16_224(**kw):
-    return _vit("vit_small_patch16_224", 16, 384, 12, 6, **kw)
+    # the reference zoo's OLD-timm "my custom small": embed 768, depth 8,
+    # heads 8, mlp_ratio 3, no qkv bias, and plain nn.LayerNorm (eps 1e-5,
+    # unlike the 1e-6 partial every other vit uses)
+    # (vision_transformer.py:1229-1240)
+    return _vit("vit_small_patch16_224", 16, 768, 8, 8, mlp_ratio=3.0,
+                qkv_bias=False, ln_eps=1e-5, **kw)
 
 
 @register_model
 def vit_small_patch16_384(**kw):
+    # modern-timm small (not in the reference zoo; kept for loading
+    # current deit/vit-small torch checkpoints)
     return _vit("vit_small_patch16_384", 16, 384, 12, 6, img=384, **kw)
 
 
@@ -163,6 +185,92 @@ def deit_base_patch16_384(**kw):
     return _vit("deit_base_patch16_384", 16, 768, 12, 12, img=384, **kw)
 
 
+@register_model
+def vit_large_patch32_224(**kw):
+    return _vit("vit_large_patch32_224", 32, 1024, 24, 16, **kw)
+
+
+# -- ImageNet-21k checkpoints: pre_logits representation head
+#    (reference vision_transformer.py:1320-1375) --
+
+@register_model
+def vit_base_patch16_224_in21k(**kw):
+    return _vit("vit_base_patch16_224_in21k", 16, 768, 12, 12,
+                representation_size=768, num_classes=21843, **kw)
+
+
+@register_model
+def vit_base_patch32_224_in21k(**kw):
+    return _vit("vit_base_patch32_224_in21k", 32, 768, 12, 12,
+                representation_size=768, num_classes=21843, **kw)
+
+
+@register_model
+def vit_large_patch16_224_in21k(**kw):
+    return _vit("vit_large_patch16_224_in21k", 16, 1024, 24, 16,
+                representation_size=1024, num_classes=21843, **kw)
+
+
+@register_model
+def vit_large_patch32_224_in21k(**kw):
+    return _vit("vit_large_patch32_224_in21k", 32, 1024, 24, 16,
+                representation_size=1024, num_classes=21843, **kw)
+
+
+@register_model
+def vit_huge_patch14_224_in21k(**kw):
+    return _vit("vit_huge_patch14_224_in21k", 14, 1280, 32, 16,
+                representation_size=1280, num_classes=21843, **kw)
+
+
+# -- the reference zoo's deit names (vit_deit_*, incl. distilled;
+#    vision_transformer.py:1446-1530) --
+
+@register_model
+def vit_deit_tiny_patch16_224(**kw):
+    return _vit("vit_deit_tiny_patch16_224", 16, 192, 12, 3, **kw)
+
+
+@register_model
+def vit_deit_small_patch16_224(**kw):
+    return _vit("vit_deit_small_patch16_224", 16, 384, 12, 6, **kw)
+
+
+@register_model
+def vit_deit_base_patch16_224(**kw):
+    return _vit("vit_deit_base_patch16_224", 16, 768, 12, 12, **kw)
+
+
+@register_model
+def vit_deit_base_patch16_384(**kw):
+    return _vit("vit_deit_base_patch16_384", 16, 768, 12, 12, img=384,
+                **kw)
+
+
+@register_model
+def vit_deit_tiny_distilled_patch16_224(**kw):
+    return _vit("vit_deit_tiny_distilled_patch16_224", 16, 192, 12, 3,
+                distilled=True, **kw)
+
+
+@register_model
+def vit_deit_small_distilled_patch16_224(**kw):
+    return _vit("vit_deit_small_distilled_patch16_224", 16, 384, 12, 6,
+                distilled=True, **kw)
+
+
+@register_model
+def vit_deit_base_distilled_patch16_224(**kw):
+    return _vit("vit_deit_base_distilled_patch16_224", 16, 768, 12, 12,
+                distilled=True, **kw)
+
+
+@register_model
+def vit_deit_base_distilled_patch16_384(**kw):
+    return _vit("vit_deit_base_distilled_patch16_384", 16, 768, 12, 12,
+                img=384, distilled=True, **kw)
+
+
 # ---------------------------------------------------------------------------
 # functional model construction
 # ---------------------------------------------------------------------------
@@ -195,13 +303,22 @@ def init_vision_params(rng: jax.Array, spec: VisionModelSpec) -> Params:
             "bias": jnp.zeros((h,), jnp.float32),
         },
         "cls_token": jnp.zeros((1, 1, h), jnp.float32),
-        "pos_embed": _trunc_normal(ks[1], (1, g * g + 1, h)),
+        "pos_embed": _trunc_normal(
+            ks[1], (1, g * g + spec.num_lead_tokens, h)),
         "blocks": [_vit_block_init(ks[2 + i], cfg)
                    for i in range(spec.depth)],
         "norm": _ln_init(h),
     }
+    if spec.distilled:
+        params["dist_token"] = jnp.zeros((1, 1, h), jnp.float32)
+    if spec.representation_size:
+        params["pre_logits"] = _dense_init(ks[-2], h,
+                                           spec.representation_size)
     if spec.num_classes:
-        params["head"] = _dense_init(ks[-1], h, spec.num_classes)
+        head_in = spec.representation_size or h
+        params["head"] = _dense_init(ks[-1], head_in, spec.num_classes)
+        if spec.distilled:
+            params["head_dist"] = _dense_init(ks[-3], h, spec.num_classes)
     return params
 
 
@@ -219,28 +336,62 @@ def vit_forward(params: Params, images: jnp.ndarray,
     `return_attn` visualization hook (vision_transformer.py:174-182).
 
     token_drop>0 randomly drops that fraction of PATCH tokens after the
-    position embedding (CLS always kept) — the reference fork's `token_drop`
-    training hook.  The kept count is static (ceil), so the jit stays
-    fixed-shape; per-example subsets are drawn from `rng`."""
-    x = vision_embed(params, images.astype(dtype), spec.patch_size)
+    position embedding (lead tokens always kept) — the reference fork's
+    `token_drop` training hook.  The kept count is static (ceil), so the
+    jit stays fixed-shape; per-example subsets are drawn from `rng`."""
+    lead = spec.num_lead_tokens
+    if spec.distilled:
+        # CLS + distillation token + patches, joint pos embed (reference
+        # DistilledVisionTransformer.forward_features :528-541)
+        from .layers import patch_embed
+        tokens = patch_embed(params["patch_proj"],
+                             images.astype(dtype))
+        B, N, H = tokens.shape
+        cls_tok = jnp.broadcast_to(
+            params["cls_token"].astype(tokens.dtype), (B, 1, H))
+        dist_tok = jnp.broadcast_to(
+            params["dist_token"].astype(tokens.dtype), (B, 1, H))
+        x = jnp.concatenate([cls_tok, dist_tok, tokens], axis=1)
+        pe = params["pos_embed"]
+        old_n = pe.shape[1] - 2
+        if old_n != N:
+            g_old, g_new = int(old_n ** 0.5), int(N ** 0.5)
+            lead_pe, grid_pe = pe[:, :2], pe[:, 2:]
+            grid_pe = jax.image.resize(
+                grid_pe.reshape(g_old, g_old, H),
+                (g_new, g_new, H), method="bicubic").reshape(1, N, H)
+            pe = jnp.concatenate([lead_pe, grid_pe], axis=1)
+        x = x + pe.astype(x.dtype)
+    else:
+        x = vision_embed(params, images.astype(dtype), spec.patch_size)
     if token_drop > 0.0:
         if rng is None:
             raise ValueError("token_drop needs an rng key")
         import math
         B, L, _ = x.shape
-        n_keep = max(1, math.ceil((L - 1) * (1.0 - token_drop)))
-        noise = jax.random.uniform(rng, (B, L - 1))
-        keep_idx = jnp.argsort(noise, axis=1)[:, :n_keep] + 1  # skip CLS
+        n_keep = max(1, math.ceil((L - lead) * (1.0 - token_drop)))
+        noise = jax.random.uniform(rng, (B, L - lead))
+        keep_idx = jnp.argsort(noise, axis=1)[:, :n_keep] + lead
         keep_idx = jnp.sort(keep_idx, axis=1)                  # keep order
         patches = jnp.take_along_axis(x, keep_idx[..., None], axis=1)
-        x = jnp.concatenate([x[:, :1], patches], axis=1)
+        x = jnp.concatenate([x[:, :lead], patches], axis=1)
     attns = []
     for blk in params["blocks"]:
         if return_attn:
             attns.append(_block_attn_probs(blk, x, spec))
         x = vit_block(blk, x, spec.num_heads, spec.ln_eps)
     x = layer_norm(params["norm"], x, spec.ln_eps)
-    out = dense(params["head"], x[:, 0]) if head else x
+    if head:
+        cls = x[:, 0]
+        if spec.representation_size:
+            cls = jnp.tanh(dense(params["pre_logits"], cls))
+        out = dense(params["head"], cls)
+        if spec.distilled:
+            # eval-time deit: average of the two classifier heads
+            # (reference vision_transformer.py:547-550)
+            out = (out + dense(params["head_dist"], x[:, 1])) / 2
+    else:
+        out = x
     if return_attn:
         return out, jnp.stack(attns)
     return out
@@ -343,15 +494,32 @@ def load_timm_checkpoint(params: Params, path: str,
             arr = arr.transpose(2, 3, 1, 0)   # OIHW -> HWIO
         elif transform == "pos_interp":
             if arr.shape != tuple(target_shape):
-                old = int(round((arr.shape[1] - 1) ** 0.5))
-                arr = np.asarray(interpolate_pos_embed(
-                    jnp.asarray(arr), (spec.grid, spec.grid), (old, old)))
+                lead = spec.num_lead_tokens
+                old = int(round((arr.shape[1] - lead) ** 0.5))
+                head_pe = jnp.asarray(arr[:, :lead])
+                grid_pe = jax.image.resize(
+                    jnp.asarray(arr[:, lead:]).reshape(
+                        old, old, arr.shape[-1]),
+                    (spec.grid, spec.grid, arr.shape[-1]),
+                    method="bicubic").reshape(1, spec.grid ** 2,
+                                              arr.shape[-1])
+                arr = np.asarray(jnp.concatenate([head_pe, grid_pe], 1))
         return jnp.asarray(arr, jnp.float32)
 
+    extra_maps = {}
+    if spec.distilled:
+        extra_maps["dist_token"] = ("dist_token", "none")
+        extra_maps["head_dist.kernel"] = ("head_dist.weight", "t")
+        extra_maps["head_dist.bias"] = ("head_dist.bias", "none")
+    if spec.representation_size:
+        extra_maps["pre_logits.kernel"] = ("pre_logits.fc.weight", "t")
+        extra_maps["pre_logits.bias"] = ("pre_logits.fc.bias", "none")
+
     out = dict(params)
-    for jname, (tname, tr) in _TIMM_NAME_MAP.items():
+    for jname, (tname, tr) in {**_TIMM_NAME_MAP, **extra_maps}.items():
         top, _, sub = jname.partition(".")
-        if top == "head" and ("head" not in params or tname not in sd):
+        if top in ("head", "head_dist", "pre_logits") \
+                and (top not in params or tname not in sd):
             continue
         tgt = params[top][sub] if sub else params[top]
         val = fetch(tname, tr, tgt.shape)
@@ -371,6 +539,12 @@ def load_timm_checkpoint(params: Params, path: str,
             ref = blk
             for pp in parts:
                 ref = ref[pp]
+            if jname == "attn.qkv.bias" \
+                    and f"blocks.{i}.{tname}" not in sd:
+                # qkv_bias=False checkpoints (old-timm small): keep the
+                # zero bias tensor — functionally identical
+                cur[parts[-1]] = ref
+                continue
             cur[parts[-1]] = fetch(f"blocks.{i}.{tname}", tr, ref.shape)
         blocks.append(nb)
     out["blocks"] = blocks
