@@ -336,3 +336,65 @@ class TestReferenceTimmParity:
 
     def test_in21k_base32_parity(self):
         self._compare("vit_base_patch32_224_in21k")
+
+
+class TestHybridViTs:
+    def test_hybrid_names_and_shapes(self):
+        for n in ["vit_base_resnet50_224_in21k", "vit_base_resnet50_384",
+                  "vit_small_resnet26d_224", "vit_small_resnet50d_s3_224",
+                  "vit_base_resnet26d_224", "vit_base_resnet50d_224"]:
+            assert R.is_model(n), n
+        m = R.create_model("vit_small_resnet26d_224", img_size=64,
+                           num_classes=7)
+        feats = m.apply(m.params, jnp.zeros((1, 64, 64, 3)))
+        assert feats.shape == (1, 1 + 4, 768)      # stride 32: 2x2 grid
+        logits = m.apply(m.params, jnp.zeros((1, 64, 64, 3)), head=True)
+        assert logits.shape == (1, 7)
+
+
+@pytest.mark.slow
+class TestHybridParity:
+    """Golden parity vs the reference's vendored timm hybrid models."""
+
+    def _compare(self, name, img, randomize_bn=False, atol=5e-4):
+        from reference_harness import install
+        install()
+        import torch
+        from timm.models import vision_transformer as V
+        torch.manual_seed(0)
+        tm = getattr(V, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        if randomize_bn:
+            # running stats are init-trivial (mean 0, var 1); randomize so
+            # the parity actually exercises eval-mode BN math
+            g = torch.Generator().manual_seed(1)
+            for k in list(sd.keys()):
+                if k.endswith("running_mean"):
+                    sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+                elif k.endswith("running_var"):
+                    sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+            tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt, img_size=img)
+        rng = np.random.RandomState(0)
+        x = rng.randn(1, img, img, 3).astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=atol)
+
+    def test_r50_vit_parity(self):
+        self._compare("vit_base_resnet50_384", img=384)
+
+    def test_resnet26d_hybrid_parity(self):
+        self._compare("vit_small_resnet26d_224", img=224,
+                      randomize_bn=True)
+
+    def test_resnet50d_s3_hybrid_parity(self):
+        self._compare("vit_small_resnet50d_s3_224", img=224,
+                      randomize_bn=True)

@@ -1,0 +1,321 @@
+"""CNN stems for the hybrid ViTs (the reference zoo's `vit_*_resnet*`
+models: R50+ViT-B/16 from the ViT paper and the custom resnet26d/50d
+hybrids, reference vision_transformer.py:1377-1446).
+
+Two families, functional NHWC, eval semantics (the hybrids are feature
+extractors under the ViT):
+
+- `resnetv2_r50`: 3-stage ResNetV2 without pre-activation —
+  weight-standardized convs with TF-'SAME' padding, GroupNorm(32)+ReLU
+  (reference resnetv2.py:171-217 Bottleneck, :277-307 create_stem,
+  :309-380; StdConv2dSame std_conv.py:41-60: divide by std+eps, NOT
+  sqrt(var+eps)).
+- `resnet_d`: classic BatchNorm bottleneck ResNet with deep 3-conv stem
+  and avg-pool downsample (reference resnet.py:695-716 resnet26d/50d).
+  BatchNorm runs in eval mode on running stats.  Torch's symmetric
+  padding is replicated with explicit ((1,1),(1,1)) pads — TF-'SAME'
+  aligns differently for stride 2 on even inputs.
+
+Parameters load from the reference's torch state-dict key layout
+(`patch_embed.backbone.*`) via the loaders at the bottom.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+_EPS = 1e-5
+
+
+def _conv(x, w, stride=1, padding="SAME", dilation=1):
+    """NHWC x, HWIO w."""
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding=padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _std_conv(x, w, stride=1, padding="SAME"):
+    """Weight-standardized conv (per OUT channel over kh,kw,in):
+    (w - mean) / (std + eps) — note eps adds to STD (std_conv.py:33)."""
+    mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
+    std = jnp.std(w, axis=(0, 1, 2), keepdims=True)
+    return _conv(x, (w - mean) / (std + _EPS), stride, padding)
+
+
+def _group_norm(x, p, groups=32, act=True):
+    B, H, W, C = x.shape
+    xg = x.reshape(B, H, W, groups, C // groups)
+    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(xg, axis=(1, 2, 4), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + _EPS)
+    x = xg.reshape(B, H, W, C) * p["scale"] + p["bias"]
+    return jax.nn.relu(x) if act else x
+
+
+def _batch_norm(x, p, act=True):
+    """Eval-mode BN on running stats."""
+    inv = jax.lax.rsqrt(p["var"] + _EPS)
+    x = (x - p["mean"]) * inv * p["scale"] + p["bias"]
+    return jax.nn.relu(x) if act else x
+
+
+def _max_pool(x, window=3, stride=2, padding="SAME"):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, window, window, 1),
+        (1, stride, stride, 1), padding)
+
+
+def _avg_pool2(x):
+    """AvgPool2d(2, 2) (DownsampleAvg, resnetv2.py:231-247)."""
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 2, 2, 1),
+                              (1, 2, 2, 1), "VALID")
+    return s / 4.0
+
+
+def _pad1(x):
+    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+# ---------------------------------------------------------------------------
+# init helpers
+# ---------------------------------------------------------------------------
+
+def _kaiming(rng, shape):
+    fan_out = shape[0] * shape[1] * shape[3]
+    return jax.random.normal(rng, shape, jnp.float32) * np.sqrt(2.0 / fan_out)
+
+
+def _norm_p(c):
+    return {"scale": jnp.ones((c,), jnp.float32),
+            "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def _bn_p(c):
+    return {"scale": jnp.ones((c,), jnp.float32),
+            "bias": jnp.zeros((c,), jnp.float32),
+            "mean": jnp.zeros((c,), jnp.float32),
+            "var": jnp.ones((c,), jnp.float32)}
+
+
+# ---------------------------------------------------------------------------
+# ResNetV2 (R50+ViT hybrid stem): StdConvSame + GroupNorm, no pre-act
+# ---------------------------------------------------------------------------
+
+R50_LAYERS = (3, 4, 9)
+R50_CHANNELS = (256, 512, 1024)
+
+
+def init_resnetv2_r50(rng: jax.Array) -> Params:
+    ks = iter(jax.random.split(rng, 64))
+    p: Params = {
+        "stem": {"conv": _kaiming(next(ks), (7, 7, 3, 64)),
+                 "norm": _norm_p(64)},
+        "stages": [],
+    }
+    prev = 64
+    for depth, out in zip(R50_LAYERS, R50_CHANNELS):
+        mid = out // 4
+        blocks = []
+        for b in range(depth):
+            blk = {
+                "conv1": _kaiming(next(ks), (1, 1, prev, mid)),
+                "norm1": _norm_p(mid),
+                "conv2": _kaiming(next(ks), (3, 3, mid, mid)),
+                "norm2": _norm_p(mid),
+                "conv3": _kaiming(next(ks), (1, 1, mid, out)),
+                "norm3": _norm_p(out),
+            }
+            if b == 0:
+                blk["down_conv"] = _kaiming(next(ks), (1, 1, prev, out))
+                blk["down_norm"] = _norm_p(out)
+            blocks.append(blk)
+            prev = out
+        p["stages"].append(blocks)
+    return p
+
+
+def apply_resnetv2_r50(p: Params, images: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) float -> (B, H/16, W/16, 1024)."""
+    x = _std_conv(images, p["stem"]["conv"], stride=2, padding="SAME")
+    x = _group_norm(x, p["stem"]["norm"])
+    x = _max_pool(x, 3, 2, "SAME")
+    for si, blocks in enumerate(p["stages"]):
+        stride = 1 if si == 0 else 2
+        for bi, blk in enumerate(blocks):
+            s = stride if bi == 0 else 1
+            shortcut = x
+            if "down_conv" in blk:
+                shortcut = _std_conv(x, blk["down_conv"], stride=s)
+                shortcut = _group_norm(x=shortcut, p=blk["down_norm"],
+                                       act=False)
+            y = _group_norm(_std_conv(x, blk["conv1"]), blk["norm1"])
+            y = _group_norm(_std_conv(y, blk["conv2"], stride=s),
+                            blk["norm2"])
+            y = _group_norm(_std_conv(y, blk["conv3"]), blk["norm3"],
+                            act=False)
+            x = jax.nn.relu(y + shortcut)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# ResNet-D (resnet26d / resnet50d): BN + deep stem + avg-down
+# ---------------------------------------------------------------------------
+
+RESNET_D_LAYERS = {
+    "resnet26d": (2, 2, 2, 2),
+    "resnet50d": (3, 4, 6, 3),
+}
+_PLANES = (64, 128, 256, 512)
+
+
+def init_resnet_d(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
+    layers = RESNET_D_LAYERS[variant][:n_stages]
+    ks = iter(jax.random.split(rng, 128))
+    p: Params = {
+        "stem": {
+            "conv1": _kaiming(next(ks), (3, 3, 3, 32)), "bn1": _bn_p(32),
+            "conv2": _kaiming(next(ks), (3, 3, 32, 32)), "bn2": _bn_p(32),
+            "conv3": _kaiming(next(ks), (3, 3, 32, 64)), "bn3": _bn_p(64),
+        },
+        "stages": [],
+    }
+    prev = 64
+    for si, depth in enumerate(layers):
+        mid = _PLANES[si]
+        out = mid * 4
+        blocks = []
+        for b in range(depth):
+            blk = {
+                "conv1": _kaiming(next(ks), (1, 1, prev, mid)),
+                "bn1": _bn_p(mid),
+                "conv2": _kaiming(next(ks), (3, 3, mid, mid)),
+                "bn2": _bn_p(mid),
+                "conv3": _kaiming(next(ks), (1, 1, mid, out)),
+                "bn3": _bn_p(out),
+            }
+            if b == 0 and (si > 0 or prev != out):
+                blk["down_conv"] = _kaiming(next(ks), (1, 1, prev, out))
+                blk["down_bn"] = _bn_p(out)
+            blocks.append(blk)
+            prev = out
+        p["stages"].append(blocks)
+    return p
+
+
+def apply_resnet_d(p: Params, images: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) -> (B, H/2^(1+n_stages), W/..., 256*2^(n_stages-1))."""
+    x = _batch_norm(_conv(_pad1(images), p["stem"]["conv1"], 2, "VALID"),
+                    p["stem"]["bn1"])
+    x = _batch_norm(_conv(_pad1(x), p["stem"]["conv2"], 1, "VALID"),
+                    p["stem"]["bn2"])
+    x = _batch_norm(_conv(_pad1(x), p["stem"]["conv3"], 1, "VALID"),
+                    p["stem"]["bn3"])
+    x = _max_pool(_pad1(x), 3, 2, "VALID")
+    for si, blocks in enumerate(p["stages"]):
+        stride = 1 if si == 0 else 2
+        for bi, blk in enumerate(blocks):
+            s = stride if bi == 0 else 1
+            shortcut = x
+            if "down_conv" in blk:
+                d = _avg_pool2(x) if s == 2 else x
+                d = _conv(d, blk["down_conv"], 1)
+                shortcut = _batch_norm(d, blk["down_bn"], act=False)
+            y = _batch_norm(_conv(x, blk["conv1"], 1), blk["bn1"])
+            y = _batch_norm(_conv(_pad1(y), blk["conv2"], s, "VALID"),
+                            blk["bn2"])
+            y = _batch_norm(_conv(y, blk["conv3"], 1), blk["bn3"],
+                            act=False)
+            x = jax.nn.relu(y + shortcut)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# torch state-dict loaders (keys under `patch_embed.backbone.`)
+# ---------------------------------------------------------------------------
+
+def _w(sd, key):
+    return jnp.asarray(np.asarray(sd[key]).transpose(2, 3, 1, 0),
+                       jnp.float32)                     # OIHW -> HWIO
+
+
+def _v(sd, key):
+    return jnp.asarray(np.asarray(sd[key]), jnp.float32)
+
+
+def load_resnetv2_r50(params: Params, sd: Dict[str, Any],
+                      prefix: str = "patch_embed.backbone.") -> Params:
+    p = {"stem": {"conv": _w(sd, prefix + "stem.conv.weight"),
+                  "norm": {"scale": _v(sd, prefix + "stem.norm.weight"),
+                           "bias": _v(sd, prefix + "stem.norm.bias")}},
+         "stages": []}
+    for si, blocks in enumerate(params["stages"]):
+        nbs = []
+        for bi, blk in enumerate(blocks):
+            base = f"{prefix}stages.{si}.blocks.{bi}."
+            nb = {}
+            for ci in (1, 2, 3):
+                nb[f"conv{ci}"] = _w(sd, base + f"conv{ci}.weight")
+                nb[f"norm{ci}"] = {
+                    "scale": _v(sd, base + f"norm{ci}.weight"),
+                    "bias": _v(sd, base + f"norm{ci}.bias")}
+            if "down_conv" in blk:
+                nb["down_conv"] = _w(sd, base + "downsample.conv.weight")
+                nb["down_norm"] = {
+                    "scale": _v(sd, base + "downsample.norm.weight"),
+                    "bias": _v(sd, base + "downsample.norm.bias")}
+            nbs.append(nb)
+        p["stages"].append(nbs)
+    return p
+
+
+def _bn_from(sd, base):
+    return {"scale": _v(sd, base + ".weight"),
+            "bias": _v(sd, base + ".bias"),
+            "mean": _v(sd, base + ".running_mean"),
+            "var": _v(sd, base + ".running_var")}
+
+
+def load_resnet_d(params: Params, sd: Dict[str, Any],
+                  prefix: str = "patch_embed.backbone.") -> Params:
+    p = {"stem": {
+        "conv1": _w(sd, prefix + "conv1.0.weight"),
+        "bn1": _bn_from(sd, prefix + "conv1.1"),
+        "conv2": _w(sd, prefix + "conv1.3.weight"),
+        "bn2": _bn_from(sd, prefix + "conv1.4"),
+        "conv3": _w(sd, prefix + "conv1.6.weight"),
+        "bn3": _bn_from(sd, prefix + "bn1"),
+    }, "stages": []}
+    for si, blocks in enumerate(params["stages"]):
+        nbs = []
+        for bi, blk in enumerate(blocks):
+            base = f"{prefix}layer{si + 1}.{bi}."
+            nb = {}
+            for ci in (1, 2, 3):
+                nb[f"conv{ci}"] = _w(sd, base + f"conv{ci}.weight")
+                nb[f"bn{ci}"] = _bn_from(sd, base + f"bn{ci}")
+            if "down_conv" in blk:
+                nb["down_conv"] = _w(sd, base + "downsample.1.weight")
+                nb["down_bn"] = _bn_from(sd, base + "downsample.2")
+            nbs.append(nb)
+        p["stages"].append(nbs)
+    return p
+
+
+# registry glue: hybrid name -> (init, apply, load, feature_channels, stride)
+HYBRIDS = {
+    "r50_v2": (init_resnetv2_r50, apply_resnetv2_r50, load_resnetv2_r50,
+               1024, 16),
+    "resnet26d": (lambda r: init_resnet_d(r, "resnet26d", 4),
+                  apply_resnet_d, load_resnet_d, 2048, 32),
+    "resnet50d": (lambda r: init_resnet_d(r, "resnet50d", 4),
+                  apply_resnet_d, load_resnet_d, 2048, 32),
+    "resnet50d_s3": (lambda r: init_resnet_d(r, "resnet50d", 3),
+                     apply_resnet_d, load_resnet_d, 1024, 16),
+}

@@ -63,6 +63,10 @@ class VisionModelSpec:
                                    # keep a zero bias tensor (functionally
                                    # identical) and the loader skips the
                                    # absent torch key
+    hybrid: str = ""               # CNN stem instead of patchify: a key of
+                                   # backbones.HYBRIDS (reference
+                                   # HybridEmbed,
+                                   # vision_transformer.py:278-316)
 
     @property
     def intermediate_size(self) -> int:
@@ -74,6 +78,9 @@ class VisionModelSpec:
 
     @property
     def grid(self) -> int:
+        if self.hybrid:
+            from .backbones import HYBRIDS
+            return self.img_size // HYBRIDS[self.hybrid][4]
         return self.img_size // self.patch_size
 
 
@@ -223,6 +230,47 @@ def vit_huge_patch14_224_in21k(**kw):
                 representation_size=1280, num_classes=21843, **kw)
 
 
+# -- hybrid CNN-stem ViTs (reference vision_transformer.py:1377-1446;
+#    stems in models/backbones.py) --
+
+@register_model
+def vit_base_resnet50_224_in21k(**kw):
+    return _vit("vit_base_resnet50_224_in21k", 16, 768, 12, 12,
+                hybrid="r50_v2", representation_size=768,
+                num_classes=21843, **kw)
+
+
+@register_model
+def vit_base_resnet50_384(**kw):
+    return _vit("vit_base_resnet50_384", 16, 768, 12, 12, img=384,
+                hybrid="r50_v2", **kw)
+
+
+@register_model
+def vit_small_resnet26d_224(**kw):
+    # old-small trunk dims over a resnet26d stride-32 stem
+    return _vit("vit_small_resnet26d_224", 32, 768, 8, 8, mlp_ratio=3.0,
+                hybrid="resnet26d", **kw)
+
+
+@register_model
+def vit_small_resnet50d_s3_224(**kw):
+    return _vit("vit_small_resnet50d_s3_224", 16, 768, 8, 8,
+                mlp_ratio=3.0, hybrid="resnet50d_s3", **kw)
+
+
+@register_model
+def vit_base_resnet26d_224(**kw):
+    return _vit("vit_base_resnet26d_224", 32, 768, 12, 12,
+                hybrid="resnet26d", **kw)
+
+
+@register_model
+def vit_base_resnet50d_224(**kw):
+    return _vit("vit_base_resnet50d_224", 32, 768, 12, 12,
+                hybrid="resnet50d", **kw)
+
+
 # -- the reference zoo's deit names (vit_deit_*, incl. distilled;
 #    vision_transformer.py:1446-1530) --
 
@@ -293,13 +341,18 @@ def init_vision_params(rng: jax.Array, spec: VisionModelSpec) -> Params:
         num_hidden_layers=spec.depth, img_size=spec.img_size,
         patch_size=spec.patch_size, vit_layer_norm_eps=spec.ln_eps,
         split_blocks=0)       # dims-only carrier; no tag branch here
-    ks = jax.random.split(rng, spec.depth + 4)
+    ks = jax.random.split(rng, spec.depth + 5)
     h = spec.hidden_size
     g = spec.grid
+    if spec.hybrid:
+        from .backbones import HYBRIDS
+        init_fn, _, _, feat_c, _ = HYBRIDS[spec.hybrid]
+        proj_shape = (1, 1, feat_c, h)
+    else:
+        proj_shape = (spec.patch_size, spec.patch_size, 3, h)
     params: Params = {
         "patch_proj": {
-            "kernel": _trunc_normal(
-                ks[0], (spec.patch_size, spec.patch_size, 3, h)),
+            "kernel": _trunc_normal(ks[0], proj_shape),
             "bias": jnp.zeros((h,), jnp.float32),
         },
         "cls_token": jnp.zeros((1, 1, h), jnp.float32),
@@ -309,6 +362,8 @@ def init_vision_params(rng: jax.Array, spec: VisionModelSpec) -> Params:
                    for i in range(spec.depth)],
         "norm": _ln_init(h),
     }
+    if spec.hybrid:
+        params["backbone"] = init_fn(ks[-4])
     if spec.distilled:
         params["dist_token"] = jnp.zeros((1, 1, h), jnp.float32)
     if spec.representation_size:
@@ -340,23 +395,36 @@ def vit_forward(params: Params, images: jnp.ndarray,
     `token_drop` training hook.  The kept count is static (ceil), so the
     jit stays fixed-shape; per-example subsets are drawn from `rng`."""
     lead = spec.num_lead_tokens
-    if spec.distilled:
-        # CLS + distillation token + patches, joint pos embed (reference
-        # DistilledVisionTransformer.forward_features :528-541)
-        from .layers import patch_embed
-        tokens = patch_embed(params["patch_proj"],
-                             images.astype(dtype))
+    if spec.distilled or spec.hybrid:
+        if spec.hybrid:
+            # CNN stem -> 1x1 projection (reference HybridEmbed
+            # vision_transformer.py:278-316)
+            from .backbones import HYBRIDS
+            apply_fn = HYBRIDS[spec.hybrid][1]
+            feats = apply_fn(params["backbone"], images.astype(dtype))
+            B, gh, gw, C = feats.shape
+            w = params["patch_proj"]["kernel"].reshape(
+                C, -1).astype(feats.dtype)
+            tokens = feats.reshape(B, gh * gw, C) @ w \
+                + params["patch_proj"]["bias"].astype(feats.dtype)
+        else:
+            from .layers import patch_embed
+            tokens = patch_embed(params["patch_proj"],
+                                 images.astype(dtype))
+        # lead tokens (CLS [+ deit distillation token]) + joint pos embed
+        # (reference DistilledVisionTransformer.forward_features :528-541)
         B, N, H = tokens.shape
-        cls_tok = jnp.broadcast_to(
-            params["cls_token"].astype(tokens.dtype), (B, 1, H))
-        dist_tok = jnp.broadcast_to(
-            params["dist_token"].astype(tokens.dtype), (B, 1, H))
-        x = jnp.concatenate([cls_tok, dist_tok, tokens], axis=1)
+        leads = [jnp.broadcast_to(
+            params["cls_token"].astype(tokens.dtype), (B, 1, H))]
+        if spec.distilled:
+            leads.append(jnp.broadcast_to(
+                params["dist_token"].astype(tokens.dtype), (B, 1, H)))
+        x = jnp.concatenate(leads + [tokens], axis=1)
         pe = params["pos_embed"]
-        old_n = pe.shape[1] - 2
+        old_n = pe.shape[1] - lead
         if old_n != N:
             g_old, g_new = int(old_n ** 0.5), int(N ** 0.5)
-            lead_pe, grid_pe = pe[:, :2], pe[:, 2:]
+            lead_pe, grid_pe = pe[:, :lead], pe[:, lead:]
             grid_pe = jax.image.resize(
                 grid_pe.reshape(g_old, g_old, H),
                 (g_new, g_new, H), method="bicubic").reshape(1, N, H)
@@ -548,4 +616,8 @@ def load_timm_checkpoint(params: Params, path: str,
             cur[parts[-1]] = fetch(f"blocks.{i}.{tname}", tr, ref.shape)
         blocks.append(nb)
     out["blocks"] = blocks
+    if spec.hybrid:
+        from .backbones import HYBRIDS
+        load_fn = HYBRIDS[spec.hybrid][2]
+        out["backbone"] = load_fn(params["backbone"], sd)
     return out
