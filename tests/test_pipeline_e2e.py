@@ -356,3 +356,23 @@ def test_cbs_predict_pipeline(workdir):
     # same artifact)
     dense = rows({"cbs_sparse": 0, "force_predict": True})
     assert dense == sparse
+
+
+def test_predict_speed_breakdown(workdir):
+    """speed_breakdown: 1 adds the per-stage device-time table to the
+    .speed.yaml (jit-era ForwardPassTimeChecker equivalent)."""
+    import yaml
+    from vitcap_tpu.pipelines.caption_pipeline import CaptionUniPipeline
+    param = _param(workdir)
+    param["expid"] = "speedtab"
+    param["speed_breakdown"] = 1
+    pip = CaptionUniPipeline(**param)
+    pip.ensure_train()
+    f = pip.ensure_predict(pip.get_checkpoint_file())
+    with open(f + ".speed.yaml") as fh:
+        info = yaml.safe_load(fh)
+    mt = info["module_time"]
+    for k in ("vision_tags_prefill_ms", "decode_scan_ms",
+              "full_generate_ms", "device_caps_per_s"):
+        assert k in mt, (k, mt)
+    assert mt["full_generate_ms"] >= mt["vision_tags_prefill_ms"] > 0

@@ -15,7 +15,8 @@ def test_registry_listing():
     assert "deit_base_patch16_224" in names
     assert len(names) >= 12
     assert R.is_model("vit_tiny_patch16_224")
-    assert not R.is_model("resnet50")
+    assert R.is_model("resnet50")
+    assert not R.is_model("efficientnet_b0")
     with pytest.raises(ValueError):
         R.model_spec("nope_model")
 
@@ -398,3 +399,62 @@ class TestHybridParity:
     def test_resnet50d_s3_hybrid_parity(self):
         self._compare("vit_small_resnet50d_s3_224", img=224,
                       randomize_bn=True)
+
+
+class TestResNets:
+    def test_resnet_names_and_shapes(self):
+        from vitcap_tpu.models.backbones import RESNETS
+        for n in RESNETS:
+            assert R.is_model(n), n
+        m = R.create_model("resnet18", num_classes=7)
+        feats = m.apply(m.params, jnp.zeros((1, 64, 64, 3)))
+        assert feats.shape == (1, 2, 2, 512)         # stride 32
+        logits = m.apply(m.params, jnp.zeros((1, 64, 64, 3)), head=True)
+        assert logits.shape == (1, 7)
+        m = R.create_model("resnet26d", num_classes=3)
+        assert m.apply(m.params, jnp.zeros((1, 64, 64, 3))).shape \
+            == (1, 2, 2, 2048)
+
+
+@pytest.mark.slow
+class TestResNetParity:
+    """Golden parity vs the reference's vendored timm resnets, covering
+    basic/bottleneck x 7x7/deep-stem x conv/avg-down."""
+
+    def _compare(self, name, img=224):
+        from reference_harness import install
+        install()
+        import torch
+        from timm.models import resnet as TR
+        torch.manual_seed(0)
+        tm = getattr(TR, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_resnet18_parity(self):
+        self._compare("resnet18")           # basic, 7x7, conv-down
+
+    def test_resnet34d_parity(self):
+        self._compare("resnet34d")          # basic, deep, avg-down
+
+    def test_resnet50_parity(self):
+        self._compare("resnet50")           # bottleneck, 7x7, conv-down

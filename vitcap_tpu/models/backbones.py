@@ -165,42 +165,73 @@ def apply_resnetv2_r50(p: Params, images: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# ResNet-D (resnet26d / resnet50d): BN + deep stem + avg-down
+# ResNet family (reference resnet.py:481-795): BN bottleneck/basic blocks,
+# 7x7 or deep 3-conv stem, conv or avg-pool downsample.  The -d variants
+# (deep stem + avg-down) double as hybrid-ViT stems.
 # ---------------------------------------------------------------------------
 
-RESNET_D_LAYERS = {
-    "resnet26d": (2, 2, 2, 2),
-    "resnet50d": (3, 4, 6, 3),
+# variant -> (per-stage block counts, block type, stem type, downsample type)
+RESNETS = {
+    "resnet18": ((2, 2, 2, 2), "basic", "7x7", "conv"),
+    "resnet18d": ((2, 2, 2, 2), "basic", "deep", "avg"),
+    "resnet34": ((3, 4, 6, 3), "basic", "7x7", "conv"),
+    "resnet34d": ((3, 4, 6, 3), "basic", "deep", "avg"),
+    "resnet26": ((2, 2, 2, 2), "bottleneck", "7x7", "conv"),
+    "resnet26d": ((2, 2, 2, 2), "bottleneck", "deep", "avg"),
+    "resnet50": ((3, 4, 6, 3), "bottleneck", "7x7", "conv"),
+    "resnet50d": ((3, 4, 6, 3), "bottleneck", "deep", "avg"),
+    "resnet101": ((3, 4, 23, 3), "bottleneck", "7x7", "conv"),
+    "resnet101d": ((3, 4, 23, 3), "bottleneck", "deep", "avg"),
+    "resnet152": ((3, 8, 36, 3), "bottleneck", "7x7", "conv"),
+    "resnet152d": ((3, 8, 36, 3), "bottleneck", "deep", "avg"),
+    "resnet200": ((3, 24, 36, 3), "bottleneck", "7x7", "conv"),
+    "resnet200d": ((3, 24, 36, 3), "bottleneck", "deep", "avg"),
 }
 _PLANES = (64, 128, 256, 512)
 
 
-def init_resnet_d(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
-    layers = RESNET_D_LAYERS[variant][:n_stages]
-    ks = iter(jax.random.split(rng, 128))
-    p: Params = {
-        "stem": {
+def resnet_feature_channels(variant: str, n_stages: int = 4) -> int:
+    _, block, _, _ = RESNETS[variant]
+    return _PLANES[n_stages - 1] * (4 if block == "bottleneck" else 1)
+
+
+def init_resnet(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
+    layers, block, stem, _ = RESNETS[variant]
+    ks = iter(jax.random.split(rng, 512))
+    if stem == "deep":
+        stem_p = {
             "conv1": _kaiming(next(ks), (3, 3, 3, 32)), "bn1": _bn_p(32),
             "conv2": _kaiming(next(ks), (3, 3, 32, 32)), "bn2": _bn_p(32),
             "conv3": _kaiming(next(ks), (3, 3, 32, 64)), "bn3": _bn_p(64),
-        },
-        "stages": [],
-    }
+        }
+    else:
+        stem_p = {"conv1": _kaiming(next(ks), (7, 7, 3, 64)),
+                  "bn1": _bn_p(64)}
+    p: Params = {"stem": stem_p, "stages": []}
     prev = 64
-    for si, depth in enumerate(layers):
+    for si, depth in enumerate(layers[:n_stages]):
         mid = _PLANES[si]
-        out = mid * 4
+        out = mid * (4 if block == "bottleneck" else 1)
         blocks = []
         for b in range(depth):
-            blk = {
-                "conv1": _kaiming(next(ks), (1, 1, prev, mid)),
-                "bn1": _bn_p(mid),
-                "conv2": _kaiming(next(ks), (3, 3, mid, mid)),
-                "bn2": _bn_p(mid),
-                "conv3": _kaiming(next(ks), (1, 1, mid, out)),
-                "bn3": _bn_p(out),
-            }
-            if b == 0 and (si > 0 or prev != out):
+            if block == "bottleneck":
+                blk = {
+                    "conv1": _kaiming(next(ks), (1, 1, prev, mid)),
+                    "bn1": _bn_p(mid),
+                    "conv2": _kaiming(next(ks), (3, 3, mid, mid)),
+                    "bn2": _bn_p(mid),
+                    "conv3": _kaiming(next(ks), (1, 1, mid, out)),
+                    "bn3": _bn_p(out),
+                }
+            else:
+                blk = {
+                    "conv1": _kaiming(next(ks), (3, 3, prev, mid)),
+                    "bn1": _bn_p(mid),
+                    "conv2": _kaiming(next(ks), (3, 3, mid, out)),
+                    "bn2": _bn_p(out),
+                }
+            s = (1 if si == 0 else 2) if b == 0 else 1
+            if b == 0 and (s != 1 or prev != out):
                 blk["down_conv"] = _kaiming(next(ks), (1, 1, prev, out))
                 blk["down_bn"] = _bn_p(out)
             blocks.append(blk)
@@ -209,14 +240,22 @@ def init_resnet_d(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
     return p
 
 
-def apply_resnet_d(p: Params, images: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, 3) -> (B, H/2^(1+n_stages), W/..., 256*2^(n_stages-1))."""
-    x = _batch_norm(_conv(_pad1(images), p["stem"]["conv1"], 2, "VALID"),
-                    p["stem"]["bn1"])
-    x = _batch_norm(_conv(_pad1(x), p["stem"]["conv2"], 1, "VALID"),
-                    p["stem"]["bn2"])
-    x = _batch_norm(_conv(_pad1(x), p["stem"]["conv3"], 1, "VALID"),
-                    p["stem"]["bn3"])
+def apply_resnet(p: Params, images: jnp.ndarray,
+                 variant: str) -> jnp.ndarray:
+    """(B, H, W, 3) -> (B, H/2^(1+n_stages), W/..., C) feature map."""
+    _, block, stem, down = RESNETS[variant]
+    if stem == "deep":
+        x = _batch_norm(_conv(_pad1(images), p["stem"]["conv1"], 2, "VALID"),
+                        p["stem"]["bn1"])
+        x = _batch_norm(_conv(_pad1(x), p["stem"]["conv2"], 1, "VALID"),
+                        p["stem"]["bn2"])
+        x = _batch_norm(_conv(_pad1(x), p["stem"]["conv3"], 1, "VALID"),
+                        p["stem"]["bn3"])
+    else:
+        # 7x7/2 pad 3 — torch-symmetric, not TF-SAME (which pads 2+3)
+        x = jnp.pad(images, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        x = _batch_norm(_conv(x, p["stem"]["conv1"], 2, "VALID"),
+                        p["stem"]["bn1"])
     x = _max_pool(_pad1(x), 3, 2, "VALID")
     for si, blocks in enumerate(p["stages"]):
         stride = 1 if si == 0 else 2
@@ -224,16 +263,36 @@ def apply_resnet_d(p: Params, images: jnp.ndarray) -> jnp.ndarray:
             s = stride if bi == 0 else 1
             shortcut = x
             if "down_conv" in blk:
-                d = _avg_pool2(x) if s == 2 else x
-                d = _conv(d, blk["down_conv"], 1)
+                if down == "avg":
+                    d = _avg_pool2(x) if s == 2 else x
+                    d = _conv(d, blk["down_conv"], 1)
+                else:
+                    d = _conv(x, blk["down_conv"], s)
                 shortcut = _batch_norm(d, blk["down_bn"], act=False)
-            y = _batch_norm(_conv(x, blk["conv1"], 1), blk["bn1"])
-            y = _batch_norm(_conv(_pad1(y), blk["conv2"], s, "VALID"),
-                            blk["bn2"])
-            y = _batch_norm(_conv(y, blk["conv3"], 1), blk["bn3"],
-                            act=False)
+            if block == "bottleneck":
+                y = _batch_norm(_conv(x, blk["conv1"], 1), blk["bn1"])
+                y = _batch_norm(_conv(_pad1(y), blk["conv2"], s, "VALID"),
+                                blk["bn2"])
+                y = _batch_norm(_conv(y, blk["conv3"], 1), blk["bn3"],
+                                act=False)
+            else:
+                # BasicBlock: stride on conv1 (reference resnet.py:270)
+                y = _batch_norm(_conv(_pad1(x), blk["conv1"], s, "VALID"),
+                                blk["bn1"])
+                y = _batch_norm(_conv(_pad1(y), blk["conv2"], 1, "VALID"),
+                                blk["bn2"], act=False)
             x = jax.nn.relu(y + shortcut)
     return x
+
+
+# hybrid-stem aliases (all hybrids are deep-stem bottleneck avg-down,
+# i.e. "resnet26d" structure; stage/block counts live in the params)
+def init_resnet_d(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
+    return init_resnet(rng, variant, n_stages)
+
+
+def apply_resnet_d(p: Params, images: jnp.ndarray) -> jnp.ndarray:
+    return apply_resnet(p, images, "resnet26d")
 
 
 # ---------------------------------------------------------------------------
@@ -282,30 +341,44 @@ def _bn_from(sd, base):
             "var": _v(sd, base + ".running_var")}
 
 
-def load_resnet_d(params: Params, sd: Dict[str, Any],
-                  prefix: str = "patch_embed.backbone.") -> Params:
-    p = {"stem": {
-        "conv1": _w(sd, prefix + "conv1.0.weight"),
-        "bn1": _bn_from(sd, prefix + "conv1.1"),
-        "conv2": _w(sd, prefix + "conv1.3.weight"),
-        "bn2": _bn_from(sd, prefix + "conv1.4"),
-        "conv3": _w(sd, prefix + "conv1.6.weight"),
-        "bn3": _bn_from(sd, prefix + "bn1"),
-    }, "stages": []}
+def load_resnet(params: Params, sd: Dict[str, Any], variant: str,
+                prefix: str = "patch_embed.backbone.") -> Params:
+    _, block, stem, down = RESNETS[variant]
+    if stem == "deep":
+        stem_p = {
+            "conv1": _w(sd, prefix + "conv1.0.weight"),
+            "bn1": _bn_from(sd, prefix + "conv1.1"),
+            "conv2": _w(sd, prefix + "conv1.3.weight"),
+            "bn2": _bn_from(sd, prefix + "conv1.4"),
+            "conv3": _w(sd, prefix + "conv1.6.weight"),
+            "bn3": _bn_from(sd, prefix + "bn1"),
+        }
+    else:
+        stem_p = {"conv1": _w(sd, prefix + "conv1.weight"),
+                  "bn1": _bn_from(sd, prefix + "bn1")}
+    p = {"stem": stem_p, "stages": []}
+    n_convs = 3 if block == "bottleneck" else 2
+    # avg-down Sequential is [pool, conv, bn]; conv-down is [conv, bn]
+    dci = 1 if down == "avg" else 0
     for si, blocks in enumerate(params["stages"]):
         nbs = []
         for bi, blk in enumerate(blocks):
             base = f"{prefix}layer{si + 1}.{bi}."
             nb = {}
-            for ci in (1, 2, 3):
+            for ci in range(1, n_convs + 1):
                 nb[f"conv{ci}"] = _w(sd, base + f"conv{ci}.weight")
                 nb[f"bn{ci}"] = _bn_from(sd, base + f"bn{ci}")
             if "down_conv" in blk:
-                nb["down_conv"] = _w(sd, base + "downsample.1.weight")
-                nb["down_bn"] = _bn_from(sd, base + "downsample.2")
+                nb["down_conv"] = _w(sd, base + f"downsample.{dci}.weight")
+                nb["down_bn"] = _bn_from(sd, base + f"downsample.{dci + 1}")
             nbs.append(nb)
         p["stages"].append(nbs)
     return p
+
+
+def load_resnet_d(params: Params, sd: Dict[str, Any],
+                  prefix: str = "patch_embed.backbone.") -> Params:
+    return load_resnet(params, sd, "resnet26d", prefix)
 
 
 # registry glue: hybrid name -> (init, apply, load, feature_channels, stride)

@@ -11,9 +11,10 @@ the architecture family the framework actually exercises (the full ViT/DeiT
 grid), TPU-native: models are functional (init/apply pairs over param
 pytrees), pos-embeds interpolate bicubically on size mismatch (reference
 vision_transformer.py:416-421), and timm torch checkpoints load through the
-checkpoint bridge's suffix-matching rules.  Unused reference families
-(resnet/efficientnet/...) are deliberately not ported — they are dead
-weight in the reference too.
+checkpoint bridge's suffix-matching rules.  Beyond the ViT/DeiT grid the
+zoo carries the hybrid CNN-stem ViTs and the standalone resnet family
+(backbones.py); remaining reference families (efficientnet/regnet/...)
+are dead weight in the reference too and stay unported.
 
 Usage:
     spec = model_spec("vit_base_patch16_384")
@@ -271,6 +272,80 @@ def vit_base_resnet50d_224(**kw):
                 hybrid="resnet50d", **kw)
 
 
+# -- standalone CNN classifiers (the reference zoo's resnet family,
+#    resnet.py:653-795) --
+
+@dataclasses.dataclass(frozen=True)
+class CnnModelSpec:
+    """Static description of a standalone CNN classifier (global-avg-pool
+    head over a backbones.py feature extractor)."""
+    name: str
+    variant: str                   # key of backbones.RESNETS
+    num_classes: int = 1000
+    img_size: int = 224            # default cfg only; convs accept any size
+
+    @property
+    def feature_channels(self) -> int:
+        from .backbones import resnet_feature_channels
+        return resnet_feature_channels(self.variant)
+
+
+def _register_resnets():
+    from .backbones import RESNETS
+
+    def make_builder(vname):
+        def builder(**kw):
+            return CnnModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in RESNETS:
+        register_model(make_builder(vname))
+
+
+_register_resnets()
+
+
+def init_cnn_params(rng: jax.Array, spec: CnnModelSpec) -> Params:
+    from .backbones import init_resnet
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_resnet(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def cnn_forward(params: Params, images: jnp.ndarray, spec: CnnModelSpec,
+                head: bool = False, dtype=jnp.float32) -> jnp.ndarray:
+    """head=False -> NHWC feature map (reference forward_features);
+    head=True -> global-avg-pool + fc logits (resnet.py:640-646)."""
+    from .backbones import apply_resnet
+    x = apply_resnet(params["backbone"], images.astype(dtype), spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_cnn_checkpoint(params: Params, path: str,
+                        spec: CnnModelSpec) -> Params:
+    from .backbones import load_resnet
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_resnet(params["backbone"], sd, spec.variant,
+                                   prefix="")}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["fc.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["fc.bias"]), jnp.float32),
+        }
+    return out
+
+
 # -- the reference zoo's deit names (vit_deit_*, incl. distilled;
 #    vision_transformer.py:1446-1530) --
 
@@ -498,12 +573,22 @@ def create_model(name: str, pretrained: bool = False,
         spec = dataclasses.replace(spec, img_size=img_size)
     if num_classes is not None:
         spec = dataclasses.replace(spec, num_classes=num_classes)
+    if pretrained and not checkpoint_path:
+        raise ValueError("pretrained=True needs checkpoint_path "
+                         "(no-network environment)")
+    if isinstance(spec, CnnModelSpec):
+        params = init_cnn_params(rng if rng is not None
+                                 else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_cnn_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return cnn_forward(params, images, spec, head=head, dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     params = init_vision_params(rng if rng is not None
                                 else jax.random.PRNGKey(0), spec)
-    if pretrained or checkpoint_path:
-        if not checkpoint_path:
-            raise ValueError("pretrained=True needs checkpoint_path "
-                             "(no-network environment)")
+    if checkpoint_path:
         params = load_timm_checkpoint(params, checkpoint_path, spec)
 
     def apply(params, images, head=False):

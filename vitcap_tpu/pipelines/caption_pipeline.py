@@ -826,6 +826,11 @@ class CaptionUniPipeline(UniPipeline):
                 pred_rng, sub = jax.random.split(pred_rng)
                 d_ids, d_lp = run(params, put(images), put(od_ids),
                                   put(tt[:, A:]), put(seq_len), sub)
+                if n_done == 0 and str(self.cfg.get("speed_breakdown")
+                                       or "0") != "0":
+                    self._measure_speed_breakdown(
+                        params, put(images), put(od_ids), put(tt[:, A:]),
+                        put(seq_len), cfg, opts)
                 if pending is not None:
                     yield from drain(pending)
                 pending = (list(batch["key"]), n, d_ids, d_lp, t0)
@@ -838,6 +843,49 @@ class CaptionUniPipeline(UniPipeline):
             yield from drain(pending)
         if cbs_pending is not None:
             yield from drain_cbs(cbs_pending)
+
+    def _measure_speed_breakdown(self, params, images, od_ids, tt_od,
+                                 seq_len, cfg, opts) -> None:
+        """Per-stage device-time table for the `.speed.yaml` — the jit-era
+        equivalent of the reference's per-module ForwardPassTimeChecker
+        table (forward_pass_time_checker.py:20-72).  Per-module wall time
+        is meaningless inside one fused jit, so the split is at the jit
+        seams that exist anyway: context build (vision trunk + tag branch
+        + decoder K/V prefill) vs the full generate; the decode scan is
+        the difference.  Timing forces a host fetch so it is valid over
+        the axon tunnel (block_until_ready does not block there)."""
+        import jax
+        from functools import partial
+        from ..models import decode as D
+
+        ctx_fn = jax.jit(partial(D.build_decode_context, cfg=cfg,
+                                 opts=opts))
+        full = self._predict_jit[1]
+
+        def timeit(fn, fetch, iters=3):
+            out = fn()                              # warmup / compile
+            np.asarray(fetch(out))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn()
+            np.asarray(fetch(out))
+            return (time.perf_counter() - t0) / iters
+
+        rng = jax.random.PRNGKey(0)
+        t_ctx = timeit(lambda: ctx_fn(params, images, od_ids, tt_od,
+                                      seq_len),
+                       lambda o: o["tag_logits"])
+        t_full = timeit(lambda: full(params, images, od_ids, tt_od,
+                                     seq_len, rng),
+                        lambda o: o[0])
+        B = int(images.shape[0])
+        self.speed_info = {
+            "batch_size": B,
+            "vision_tags_prefill_ms": round(t_ctx * 1e3, 3),
+            "decode_scan_ms": round(max(t_full - t_ctx, 0.0) * 1e3, 3),
+            "full_generate_ms": round(t_full * 1e3, 3),
+            "device_caps_per_s": round(B / t_full, 2),
+        }
 
     def predict_output_to_tsv_row(self, data, output) -> Iterator:
         """Reference-shaped hook (…bertemb.py:620-631)."""

@@ -273,8 +273,12 @@ class UniPipeline:
             tsv_writer(self.predict_iter(loader, model, meters), sub_file)
         logging.info(str(meters))
         # per-prediction speed report (reference .speed.yaml,
-        # uni_pipeline.py:804-805)
-        write_to_yaml_file(meters.get_info(), sub_file + ".speed.yaml")
+        # uni_pipeline.py:804-805); `module_time` carries the per-stage
+        # device table when the pipeline measured one (`speed_breakdown`)
+        speed = meters.get_info()
+        if getattr(self, "speed_info", None):
+            speed["module_time"] = self.speed_info
+        write_to_yaml_file(speed, sub_file + ".speed.yaml")
         if self.mpi_rank == 0:
             write_to_yaml_file(self.kwargs, predict_file + ".info.yaml")
         self._barrier()
