@@ -16,7 +16,8 @@ def test_registry_listing():
     assert len(names) >= 12
     assert R.is_model("vit_tiny_patch16_224")
     assert R.is_model("resnet50")
-    assert not R.is_model("efficientnet_b0")
+    assert R.is_model("efficientnet_b0")
+    assert R.is_model("efficientnet_lite4")
     with pytest.raises(ValueError):
         R.model_spec("nope_model")
 
@@ -458,3 +459,79 @@ class TestResNetParity:
 
     def test_resnet50_parity(self):
         self._compare("resnet50")           # bottleneck, 7x7, conv-down
+
+
+class TestEfficientNets:
+    def test_names_and_shapes(self):
+        from vitcap_tpu.models.efficientnet import (EFFICIENTNETS,
+                                                    effnet_plan)
+        for n in EFFICIENTNETS:
+            assert R.is_model(n), n
+        # b0 plan matches the published EfficientNet-B0 table
+        stem, stages, head = effnet_plan("efficientnet_b0")
+        assert stem == 32 and head == 1280
+        assert [len(s) for s in stages] == [1, 2, 2, 3, 3, 4, 1]
+        assert [s[-1]["out"] for s in stages] == [16, 24, 40, 80, 112,
+                                                  192, 320]
+        # b1 depth scaling (ceil(r * 1.1)) and lite stage pinning
+        _, st_b1, _ = effnet_plan("efficientnet_b1")
+        assert [len(s) for s in st_b1] == [2, 3, 3, 4, 4, 5, 2]
+        _, st_l1, hd_l1 = effnet_plan("efficientnet_lite1")
+        assert [len(s) for s in st_l1] == [1, 3, 3, 4, 4, 5, 1]
+        assert hd_l1 == 1280                     # fixed head for lite
+        assert all(b["se"] == 0 for s in st_l1 for b in s)
+        # b2 channel rounding (cm 1.1, divisor 8 with the 0.9 guard)
+        _, st_b2, hd_b2 = effnet_plan("efficientnet_b2")
+        assert [s[-1]["out"] for s in st_b2] == [16, 24, 48, 88, 120,
+                                                 208, 352]
+        assert hd_b2 == 1408
+        m = R.create_model("efficientnet_b0", num_classes=7)
+        x = jnp.zeros((1, 64, 64, 3))
+        assert m.apply(m.params, x).shape == (1, 2, 2, 1280)  # stride 32
+        assert m.apply(m.params, x, head=True).shape == (1, 7)
+
+
+@pytest.mark.slow
+class TestEfficientNetParity:
+    """Golden parity vs the reference's vendored timm efficientnet family,
+    covering DS + IR blocks, SE, swish/relu6, channel/depth multipliers
+    (reference efficientnet.py:667-711, efficientnet_blocks.py:105-280)."""
+
+    def _compare(self, name, img=128):
+        from reference_harness import install
+        install()
+        import torch
+        from timm.models import efficientnet as TE
+        torch.manual_seed(0)
+        tm = getattr(TE, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        # randomize BN running stats so eval-BN math is actually exercised
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_b0_parity(self):
+        self._compare("efficientnet_b0")    # cm/dm 1.0, DS+IR+SE, swish
+
+    def test_b2_parity(self):
+        self._compare("efficientnet_b2")    # cm 1.1 / dm 1.2 rounding
+
+    def test_lite0_parity(self):
+        self._compare("efficientnet_lite0")  # relu6, no SE, fixed stem/head

@@ -12,9 +12,10 @@ grid), TPU-native: models are functional (init/apply pairs over param
 pytrees), pos-embeds interpolate bicubically on size mismatch (reference
 vision_transformer.py:416-421), and timm torch checkpoints load through the
 checkpoint bridge's suffix-matching rules.  Beyond the ViT/DeiT grid the
-zoo carries the hybrid CNN-stem ViTs and the standalone resnet family
-(backbones.py); remaining reference families (efficientnet/regnet/...)
-are dead weight in the reference too and stay unported.
+zoo carries the hybrid CNN-stem ViTs, the standalone resnet family
+(backbones.py), and the efficientnet B/Lite families (efficientnet.py);
+remaining reference families (regnet/dpn/...) are dead weight in the
+reference too and stay unported.
 
 Usage:
     spec = model_spec("vit_base_patch16_384")
@@ -346,6 +347,83 @@ def load_cnn_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone EfficientNet classifiers (the reference zoo's
+#    efficientnet B0-B8 / Lite0-4, efficientnet.py:1002-1097) --
+
+@dataclasses.dataclass(frozen=True)
+class EffNetModelSpec:
+    """Static description of an EfficientNet classifier (global-avg-pool
+    head over an efficientnet.py feature extractor)."""
+    name: str
+    variant: str                   # key of efficientnet.EFFICIENTNETS
+    num_classes: int = 1000
+    img_size: int = 224            # default cfg only; convs accept any size
+
+    @property
+    def feature_channels(self) -> int:
+        from .efficientnet import effnet_feature_channels
+        return effnet_feature_channels(self.variant)
+
+
+def _register_efficientnets():
+    from .efficientnet import EFFICIENTNETS
+
+    def make_builder(vname, img):
+        def builder(**kw):
+            kw.setdefault("img_size", img)
+            return EffNetModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname, (_, _, img, _) in EFFICIENTNETS.items():
+        register_model(make_builder(vname, img))
+
+
+_register_efficientnets()
+
+
+def init_effnet_params(rng: jax.Array, spec: EffNetModelSpec) -> Params:
+    from .efficientnet import init_effnet
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_effnet(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def effnet_forward(params: Params, images: jnp.ndarray,
+                   spec: EffNetModelSpec, head: bool = False,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """head=False -> NHWC post-head-conv feature map (the reference
+    forward_features, efficientnet.py:381-389); head=True -> global-avg-pool
+    + classifier logits (:391-396)."""
+    from .efficientnet import apply_effnet
+    x = apply_effnet(params["backbone"], images.astype(dtype), spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_effnet_checkpoint(params: Params, path: str,
+                           spec: EffNetModelSpec) -> Params:
+    from .efficientnet import load_effnet
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_effnet(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["classifier.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["classifier.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- the reference zoo's deit names (vit_deit_*, incl. distilled;
 #    vision_transformer.py:1446-1530) --
 
@@ -576,6 +654,17 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, EffNetModelSpec):
+        params = init_effnet_params(rng if rng is not None
+                                    else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_effnet_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return effnet_forward(params, images, spec, head=head,
+                                  dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, CnnModelSpec):
         params = init_cnn_params(rng if rng is not None
                                  else jax.random.PRNGKey(0), spec)
