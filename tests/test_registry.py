@@ -535,3 +535,76 @@ class TestEfficientNetParity:
 
     def test_lite0_parity(self):
         self._compare("efficientnet_lite0")  # relu6, no SE, fixed stem/head
+
+
+class TestMobileNetV3:
+    def test_names_and_shapes(self):
+        from vitcap_tpu.models.mobilenetv3 import MOBILENETV3S, mn3_plan
+        for n in MOBILENETV3S:
+            assert R.is_model(n), n
+        # large_100 plan matches the paper's Table 1
+        stem, stages, feats, hb = mn3_plan("mobilenetv3_large_100")
+        assert stem == 16 and feats == 1280 and hb
+        assert [s[-1]["out"] for s in stages] == [16, 24, 40, 80, 112,
+                                                  160, 960]
+        assert [len(s) for s in stages] == [1, 2, 3, 4, 2, 3, 1]
+        assert stages[2][0]["se"] == 24          # make_div(72*.25, 8)
+        assert stages[2][0]["act"] == "re"       # nre tag
+        assert stages[4][0]["act"] == "hs"
+        # small: 1024 head, first ds block has SE
+        _, st_s, fs, _ = mn3_plan("mobilenetv3_small_100")
+        assert fs == 1024 and st_s[0][0]["se"] == 8
+        assert st_s[-1][-1]["out"] == 576
+        # rw: no head bias, se divisor 1, noskip stage 0
+        _, st_rw, _, hb_rw = mn3_plan("mobilenetv3_rw")
+        assert not hb_rw and st_rw[0][0]["noskip"]
+        assert st_rw[2][0]["se"] == 18           # make_div(72*.25, 1)
+        m = R.create_model("mobilenetv3_small_100", num_classes=7)
+        x = jnp.zeros((1, 64, 64, 3))
+        assert m.apply(m.params, x).shape == (1, 2, 2, 576)
+        assert m.apply(m.params, x, head=True).shape == (1, 7)
+
+
+@pytest.mark.slow
+class TestMobileNetV3Parity:
+    """Golden parity vs the reference's vendored timm mobilenetv3 family:
+    hard-swish/relu per-block acts, reduce_mid SE with hard-sigmoid gate,
+    cn stage, pooled conv_head (mobilenetv3.py:80-144, :259-391)."""
+
+    def _compare(self, name, img=128):
+        from reference_harness import install
+        install()
+        import torch
+        from timm.models import mobilenetv3 as TM
+        torch.manual_seed(0)
+        tm = getattr(TM, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_large_100_parity(self):
+        self._compare("mobilenetv3_large_100")  # ds+ir+cn, mixed acts, SE/8
+
+    def test_small_075_parity(self):
+        self._compare("mobilenetv3_small_075")  # cm .75, 1024 head
+
+    def test_rw_parity(self):
+        self._compare("mobilenetv3_rw")         # no head bias, SE/1, noskip

@@ -424,6 +424,83 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone MobileNetV3 classifiers (the reference zoo's non-tf
+#    mobilenetv3 family, mobilenetv3.py:356-391) --
+
+@dataclasses.dataclass(frozen=True)
+class Mn3ModelSpec:
+    """Static description of a MobileNetV3 classifier (pool -> 1x1
+    conv_head -> act -> linear, the 'efficient head')."""
+    name: str
+    variant: str                   # key of mobilenetv3.MOBILENETV3S
+    num_classes: int = 1000
+    img_size: int = 224
+
+    @property
+    def feature_channels(self) -> int:
+        from .mobilenetv3 import mn3_feature_channels
+        return mn3_feature_channels(self.variant)
+
+
+def _register_mobilenetv3s():
+    from .mobilenetv3 import MOBILENETV3S
+
+    def make_builder(vname, img):
+        def builder(**kw):
+            kw.setdefault("img_size", img)
+            return Mn3ModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname, cfg in MOBILENETV3S.items():
+        register_model(make_builder(vname, cfg[1]))
+
+
+_register_mobilenetv3s()
+
+
+def init_mn3_params(rng: jax.Array, spec: Mn3ModelSpec) -> Params:
+    from .mobilenetv3 import init_mn3
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_mn3(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def mn3_forward(params: Params, images: jnp.ndarray,
+                spec: Mn3ModelSpec, head: bool = False,
+                dtype=jnp.float32) -> jnp.ndarray:
+    """head=False -> NHWC pre-pool feature map (the reference
+    forward_features, mobilenetv3.py:128-135); head=True -> pooled
+    conv_head features + classifier logits (:136-144)."""
+    from .mobilenetv3 import apply_mn3, apply_mn3_head
+    x = apply_mn3(params["backbone"], images.astype(dtype), spec.variant)
+    if not head:
+        return x
+    h = apply_mn3_head(params["backbone"], x, spec.variant)
+    return dense(params["head"], h)
+
+
+def load_mn3_checkpoint(params: Params, path: str,
+                        spec: Mn3ModelSpec) -> Params:
+    from .mobilenetv3 import load_mn3
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_mn3(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["classifier.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["classifier.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- the reference zoo's deit names (vit_deit_*, incl. distilled;
 #    vision_transformer.py:1446-1530) --
 
@@ -654,6 +731,16 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, Mn3ModelSpec):
+        params = init_mn3_params(rng if rng is not None
+                                 else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_mn3_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return mn3_forward(params, images, spec, head=head, dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, EffNetModelSpec):
         params = init_effnet_params(rng if rng is not None
                                     else jax.random.PRNGKey(0), spec)
