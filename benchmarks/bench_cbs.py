@@ -13,6 +13,7 @@ Prints one JSON line.
 import argparse
 import json
 import time
+from vitcap_tpu.utils.common import asset_path
 
 import numpy as np
 
@@ -45,7 +46,7 @@ def main():
     params = M.init_params(jax.random.PRNGKey(0), cfg)
 
     tok = BertTokenizer(
-        "/root/reference/yaml/VILT-L12-H784-uncased_16_384/vocab.txt")
+        asset_path("VILT-L12-H784-uncased_16_384", "vocab.txt"))
     builder = C.FiniteStateMachineBuilder(
         tok, {}, {"dog": ["dog", "dogs"], "cat": ["cat", "cats"],
                   "car": ["car", "cars"]}, max_given_constraints=3)

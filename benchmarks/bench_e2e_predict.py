@@ -23,6 +23,7 @@ import os
 import os.path as op
 import shutil
 import time
+from vitcap_tpu.utils.common import asset_path
 
 import numpy as np
 
@@ -30,7 +31,7 @@ import os as _os
 import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
-VOCAB = "/root/reference/yaml/VILT-L12-H784-uncased_16_384/vocab.txt"
+VOCAB = asset_path("VILT-L12-H784-uncased_16_384", "vocab.txt")
 CLASSES = ["dog", "cat", "car", "person", "tree", "house", "bird", "chair",
            "table", "horse", "boat", "train", "bottle", "plant", "sheep"]
 

@@ -15,13 +15,15 @@ import argparse
 import json
 import os.path as op
 
+from vitcap_tpu.utils.common import asset_path
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--image", required=True)
     ap.add_argument("--encoder-dir",
-                    default="/root/reference/yaml/VILT-L12-H784-uncased_16_384")
+                    default=asset_path("VILT-L12-H784-uncased_16_384"))
     ap.add_argument("--beams", type=int, default=1)
     ap.add_argument("--crop-size", type=int, default=384)
     ap.add_argument("--topk-tags", type=int, default=20)

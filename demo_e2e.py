@@ -22,6 +22,8 @@ import argparse
 import json
 import os.path as op
 
+from vitcap_tpu.utils.common import asset_path
+
 import numpy as np
 
 
@@ -85,7 +87,7 @@ def main(argv=None):
                     help="detector-output json; omitted = use predicted "
                          "concept tags as constraints")
     ap.add_argument("--encoder-dir",
-                    default="/root/reference/yaml/VILT-L12-H784-uncased_16_384")
+                    default=asset_path("VILT-L12-H784-uncased_16_384"))
     ap.add_argument("--hierarchy", default=None,
                     help="Open-Images hierarchy json for constraint NMS")
     ap.add_argument("--wordforms", default=None,

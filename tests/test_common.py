@@ -159,3 +159,26 @@ def test_encoded_from_img_roundtrip():
     s = encoded_from_img(arr, fmt="PNG")      # lossless for exactness
     back = np.asarray(img_from_base64(s))
     np.testing.assert_array_equal(arr, back)
+
+
+def test_packaged_assets():
+    """The framework ships its own tokenizer vocab / BertConfig / vinvl
+    labels (vitcap_tpu/assets), and resolve_asset remaps the reference
+    YAMLs' relative ./yaml/ paths onto them from any cwd."""
+    import json
+    import os.path as op
+    from vitcap_tpu.utils.common import asset_path, resolve_asset
+    d = asset_path("VILT-L12-H784-uncased_16_384")
+    assert op.isfile(op.join(d, "vocab.txt"))
+    j = json.load(open(op.join(d, "config.json")))
+    assert j["vocab_size"] == 30522 and j["net"] == "vit_base_patch16_384"
+    assert sum(1 for _ in open(op.join(d, "vocab.txt"))) == 30522
+    # remap: missing relative path -> packaged asset with same basename
+    r = resolve_asset("./yaml/VILT-L12-H784-uncased_16_384")
+    assert r == d
+    assert resolve_asset("./yaml/vinvl_label.json").endswith(
+        op.join("assets", "vinvl_label.json"))
+    # existing paths pass through untouched
+    assert resolve_asset(__file__) == __file__
+    assert resolve_asset("./definitely/not/here.json") == \
+        "./definitely/not/here.json"

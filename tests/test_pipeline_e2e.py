@@ -167,7 +167,7 @@ def test_vinvl_category_pipeline(workdir):
     import run as R
     param = _param(workdir)
     param.update({"expid": "vinvl", "category": "vinvl",
-                  "tokenizer_file": "/root/reference/yaml/vinvl_label.json",
+                  "tokenizer_file": "./yaml/vinvl_label.json",  # exercises resolve_asset
                   "max_iter": 2, "snapshot_steps": 10})
     pip = R.create_pipeline(param)
     assert pip.model_cfg.tag_vocab_size == 2027

@@ -28,7 +28,8 @@ from ..data.tensorizers import CaptionTaggerTensorizer, CaptionTensorizer
 from ..data.tokenization import BertTokenizer
 from ..data.transforms import TestImageTransform, TrainImageTransform
 from ..models.config import ModelConfig
-from ..utils.common import load_from_yaml_file
+from ..utils.common import (asset_path, load_from_yaml_file,
+                            resolve_asset)
 from ..utils.meters import MetricLogger
 
 
@@ -66,7 +67,7 @@ class CaptionUniPipeline(UniPipeline):
             "pad_to_max": True,
             "no_sort_by_conf": False,
             "real_text_a_in_test": False,
-            "text_encoder_type": "/root/reference/yaml/VILT-L12-H784-uncased_16_384",
+            "text_encoder_type": asset_path("VILT-L12-H784-uncased_16_384"),
             "image_encoder_type": "VitEmb_vit_base_patch16_384",
             "lr_multiplier": 0.1,
             "split_blocks": 4,
@@ -109,8 +110,8 @@ class CaptionUniPipeline(UniPipeline):
     @property
     def tokenizer(self) -> BertTokenizer:
         if self._tokenizer is None:
-            self._tokenizer = BertTokenizer(
-                op.join(self.cfg.text_encoder_type, "vocab.txt"))
+            self._tokenizer = BertTokenizer(op.join(
+                resolve_asset(self.cfg.text_encoder_type), "vocab.txt"))
         return self._tokenizer
 
     @property
@@ -119,8 +120,8 @@ class CaptionUniPipeline(UniPipeline):
         get_fusion_config …bertemb.py:520-563)."""
         if self._model_cfg is not None:
             return self._model_cfg
-        j = json.load(open(op.join(self.cfg.text_encoder_type,
-                                   "config.json")))
+        j = json.load(open(op.join(
+            resolve_asset(self.cfg.text_encoder_type), "config.json")))
         img_size = int(self.cfg.train_crop_size)
         patch = 16
         num_layers = j["num_hidden_layers"]
@@ -204,8 +205,8 @@ class CaptionUniPipeline(UniPipeline):
         """{'label_to_idx', 'idx_to_label'} from cfg.tokenizer_file
         (reference tag_tokenizer, yaml/vinvl_label.json)."""
         path = self.cfg.get("tokenizer_file") or \
-            "/root/reference/yaml/vinvl_label.json"
-        return json.load(open(path))
+            asset_path("vinvl_label.json")
+        return json.load(open(resolve_asset(path)))
 
     def tagger_tensorizer(self):
         if self.cfg.category == "vinvl":

@@ -157,6 +157,29 @@ def ensure_remove_file(path: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# packaged data assets (tokenizer vocab, BertConfig jsons, vinvl labels)
+# ---------------------------------------------------------------------------
+
+def asset_path(*parts: str) -> str:
+    """Path into the packaged ``vitcap_tpu/assets/`` data directory (the
+    framework-shipped equivalents of the reference's yaml/ data files:
+    VILT-* vocab.txt/config.json, vinvl_label.json)."""
+    return op.join(op.dirname(op.dirname(op.abspath(__file__))),
+                   "assets", *parts)
+
+
+def resolve_asset(path: str) -> str:
+    """Return ``path`` if it exists; otherwise remap to the packaged asset
+    with the same basename.  Lets reference YAMLs that say
+    ``./yaml/VILT-L12-H784-uncased_16_384`` or ``./yaml/vinvl_label.json``
+    run unmodified from any working directory."""
+    if not path or op.exists(path):
+        return path
+    cand = asset_path(op.basename(path.rstrip("/")))
+    return cand if op.exists(cand) else path
+
+
+# ---------------------------------------------------------------------------
 # artifact caching semantics (worth_create, reference common.py:419-428)
 # ---------------------------------------------------------------------------
 
