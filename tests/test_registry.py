@@ -608,3 +608,76 @@ class TestMobileNetV3Parity:
 
     def test_rw_parity(self):
         self._compare("mobilenetv3_rw")         # no head bias, SE/1, noskip
+
+
+class TestRegNets:
+    def test_names_and_plan(self):
+        from vitcap_tpu.models.regnet import (REGNETS, regnet_plan,
+                                              regnet_feature_channels)
+        for n in REGNETS:
+            assert R.is_model(n), n
+        # regnetx_002 published structure: depths (1,1,4,7), widths
+        # (24, 56, 152, 368), group width 8
+        plan = regnet_plan("regnetx_002")
+        assert [len(s) for s in plan] == [1, 1, 4, 7]
+        assert [s[0]["out"] for s in plan] == [24, 56, 152, 368]
+        assert all(b["group"] == 8 and b["se"] == 0
+                   for s in plan for b in s)
+        # regnety_002: same widths, SE reduce = round(in * .25)
+        plan_y = regnet_plan("regnety_002")
+        assert plan_y[1][0]["se"] == 6           # round(24 * .25)
+        assert plan_y[3][1]["se"] == 92          # round(368 * .25)
+        # regnety_032 group-width adjustment keeps width%group == 0
+        for s in regnet_plan("regnety_032"):
+            assert s[0]["out"] % s[0]["group"] == 0
+        assert regnet_feature_channels("regnetx_002") == 368
+        m = R.create_model("regnetx_002", num_classes=5)
+        x = jnp.zeros((1, 64, 64, 3))
+        assert m.apply(m.params, x).shape == (1, 2, 2, 368)
+        assert m.apply(m.params, x, head=True).shape == (1, 5)
+
+
+@pytest.mark.slow
+class TestRegNetParity:
+    """Golden parity vs the reference's vendored timm regnet family:
+    quantized width generation, grouped 3x3 convs, regnety SE placement
+    after conv2, zero-init last BN (regnet.py:97-170, :228-330)."""
+
+    def _compare(self, name, img=96):
+        from reference_harness import install
+        install()
+        import torch
+        from timm.models import regnet as TR
+        torch.manual_seed(0)
+        tm = getattr(TR, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+            elif k.endswith("bn.weight"):
+                # zero-init last BN leaves conv3 dead at random init;
+                # re-randomize every BN scale so all paths carry signal
+                sd[k] = 0.5 + torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_x002_parity(self):
+        self._compare("regnetx_002")    # no SE, group 8
+
+    def test_y004_parity(self):
+        self._compare("regnety_004")    # SE, width/group adjustment

@@ -424,6 +424,83 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone RegNetX/Y classifiers (the reference zoo's regnet family,
+#    regnet.py:337-480) --
+
+@dataclasses.dataclass(frozen=True)
+class RegNetModelSpec:
+    """Static description of a RegNet classifier (global-avg-pool head
+    over a regnet.py feature extractor)."""
+    name: str
+    variant: str                   # key of regnet.REGNETS
+    num_classes: int = 1000
+    img_size: int = 224
+
+    @property
+    def feature_channels(self) -> int:
+        from .regnet import regnet_feature_channels
+        return regnet_feature_channels(self.variant)
+
+
+def _register_regnets():
+    from .regnet import REGNETS
+
+    def make_builder(vname):
+        def builder(**kw):
+            kw.setdefault("img_size", 224)
+            return RegNetModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in REGNETS:
+        register_model(make_builder(vname))
+
+
+_register_regnets()
+
+
+def init_regnet_params(rng: jax.Array, spec: RegNetModelSpec) -> Params:
+    from .regnet import init_regnet
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_regnet(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def regnet_forward(params: Params, images: jnp.ndarray,
+                   spec: RegNetModelSpec, head: bool = False,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """head=False -> NHWC final-stage feature map (the reference
+    forward_features, regnet.py:320-323); head=True -> global-avg-pool
+    + classifier logits (ClassifierHead)."""
+    from .regnet import apply_regnet
+    x = apply_regnet(params["backbone"], images.astype(dtype), spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_regnet_checkpoint(params: Params, path: str,
+                           spec: RegNetModelSpec) -> Params:
+    from .regnet import load_regnet
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_regnet(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["head.fc.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["head.fc.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- standalone MobileNetV3 classifiers (the reference zoo's non-tf
 #    mobilenetv3 family, mobilenetv3.py:356-391) --
 
@@ -731,6 +808,17 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, RegNetModelSpec):
+        params = init_regnet_params(rng if rng is not None
+                                    else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_regnet_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return regnet_forward(params, images, spec, head=head,
+                                  dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, Mn3ModelSpec):
         params = init_mn3_params(rng if rng is not None
                                  else jax.random.PRNGKey(0), spec)
