@@ -681,3 +681,61 @@ class TestRegNetParity:
 
     def test_y004_parity(self):
         self._compare("regnety_004")    # SE, width/group adjustment
+
+
+class TestDenseNets:
+    def test_names_and_channels(self):
+        from vitcap_tpu.models.densenet import (DENSENETS,
+                                                densenet_feature_channels)
+        for n in DENSENETS:
+            assert R.is_model(n), n
+        assert densenet_feature_channels("densenet121") == 1024
+        assert densenet_feature_channels("densenet169") == 1664
+        assert densenet_feature_channels("densenet201") == 1920
+        assert densenet_feature_channels("densenet161") == 2208
+        m = R.create_model("densenet121", num_classes=5)
+        x = jnp.zeros((1, 64, 64, 3))
+        assert m.apply(m.params, x).shape == (1, 2, 2, 1024)
+        assert m.apply(m.params, x, head=True).shape == (1, 5)
+
+
+@pytest.mark.slow
+class TestDenseNetParity:
+    """Golden parity vs the reference's vendored timm densenet family:
+    pre-activation dense layers over channel concat, transitions with
+    avg-pool, classic + deep stems (densenet.py:47-262)."""
+
+    def _compare(self, name, img=96):
+        from reference_harness import install
+        install()
+        import torch
+        from timm.models import densenet as TD
+        torch.manual_seed(0)
+        tm = getattr(TD, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_densenet121_parity(self):
+        self._compare("densenet121")    # classic stem
+
+    def test_densenet121d_parity(self):
+        self._compare("densenet121d")   # deep 3x3x3 stem

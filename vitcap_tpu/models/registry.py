@@ -424,6 +424,84 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone DenseNet classifiers (the reference zoo's densenet family,
+#    densenet.py:295-365) --
+
+@dataclasses.dataclass(frozen=True)
+class DenseNetModelSpec:
+    """Static description of a DenseNet classifier (global-avg-pool head
+    over a densenet.py feature extractor)."""
+    name: str
+    variant: str                   # key of densenet.DENSENETS
+    num_classes: int = 1000
+    img_size: int = 224
+
+    @property
+    def feature_channels(self) -> int:
+        from .densenet import densenet_feature_channels
+        return densenet_feature_channels(self.variant)
+
+
+def _register_densenets():
+    from .densenet import DENSENETS
+
+    def make_builder(vname):
+        def builder(**kw):
+            kw.setdefault("img_size", 224)
+            return DenseNetModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in DENSENETS:
+        register_model(make_builder(vname))
+
+
+_register_densenets()
+
+
+def init_densenet_params(rng: jax.Array, spec: DenseNetModelSpec) -> Params:
+    from .densenet import init_densenet
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_densenet(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def densenet_forward(params: Params, images: jnp.ndarray,
+                     spec: DenseNetModelSpec, head: bool = False,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    """head=False -> NHWC post-norm5 feature map (the reference
+    forward_features, densenet.py:255-256); head=True -> global-avg-pool
+    + classifier logits (:258-262)."""
+    from .densenet import apply_densenet
+    x = apply_densenet(params["backbone"], images.astype(dtype),
+                       spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_densenet_checkpoint(params: Params, path: str,
+                             spec: DenseNetModelSpec) -> Params:
+    from .densenet import load_densenet
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_densenet(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["classifier.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["classifier.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- standalone RegNetX/Y classifiers (the reference zoo's regnet family,
 #    regnet.py:337-480) --
 
@@ -808,6 +886,17 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, DenseNetModelSpec):
+        params = init_densenet_params(rng if rng is not None
+                                      else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_densenet_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return densenet_forward(params, images, spec, head=head,
+                                    dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, RegNetModelSpec):
         params = init_regnet_params(rng if rng is not None
                                     else jax.random.PRNGKey(0), spec)
