@@ -460,6 +460,15 @@ class TestResNetParity:
     def test_resnet50_parity(self):
         self._compare("resnet50")           # bottleneck, 7x7, conv-down
 
+    def test_resnext50_parity(self):
+        self._compare("resnext50_32x4d")    # grouped conv2, width 4*32
+
+    def test_seresnet50_parity(self):
+        self._compare("seresnet50")         # SE after bn3
+
+    def test_seresnext26d_parity(self):
+        self._compare("seresnext26d_32x4d")  # SE + groups + deep/avg
+
 
 class TestEfficientNets:
     def test_names_and_shapes(self):

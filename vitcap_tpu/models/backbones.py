@@ -33,11 +33,11 @@ Params = Dict[str, Any]
 _EPS = 1e-5
 
 
-def _conv(x, w, stride=1, padding="SAME", dilation=1):
-    """NHWC x, HWIO w."""
+def _conv(x, w, stride=1, padding="SAME", dilation=1, groups=1):
+    """NHWC x, HWIO w (I = C_in/groups for grouped convs)."""
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding=padding,
-        rhs_dilation=(dilation, dilation),
+        rhs_dilation=(dilation, dilation), feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -186,17 +186,80 @@ RESNETS = {
     "resnet152d": ((3, 8, 36, 3), "bottleneck", "deep", "avg"),
     "resnet200": ((3, 24, 36, 3), "bottleneck", "7x7", "conv"),
     "resnet200d": ((3, 24, 36, 3), "bottleneck", "deep", "avg"),
+    # resnext: grouped bottleneck, width = floor(planes*bw/64)*cardinality
+    # (reference resnet.py:331, :851-888)
+    "resnext50_32x4d": ((3, 4, 6, 3), "bottleneck", "7x7", "conv",
+                        dict(card=32, bw=4)),
+    "resnext50d_32x4d": ((3, 4, 6, 3), "bottleneck", "deep", "avg",
+                         dict(card=32, bw=4)),
+    "resnext101_32x4d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                         dict(card=32, bw=4)),
+    "resnext101_32x8d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                         dict(card=32, bw=8)),
+    "resnext101_64x4d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                         dict(card=64, bw=4)),
+    # seresnet/seresnext: SEModule(out, reduction=16) after the last BN
+    # (reference resnet.py:281/:351 create_attn, :1188-1320)
+    "seresnet18": ((2, 2, 2, 2), "basic", "7x7", "conv", dict(se=True)),
+    "seresnet34": ((3, 4, 6, 3), "basic", "7x7", "conv", dict(se=True)),
+    "seresnet50": ((3, 4, 6, 3), "bottleneck", "7x7", "conv",
+                   dict(se=True)),
+    "seresnet101": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                    dict(se=True)),
+    "seresnet152": ((3, 8, 36, 3), "bottleneck", "7x7", "conv",
+                    dict(se=True)),
+    "seresnet152d": ((3, 8, 36, 3), "bottleneck", "deep", "avg",
+                     dict(se=True)),
+    "seresnext26d_32x4d": ((2, 2, 2, 2), "bottleneck", "deep", "avg",
+                           dict(card=32, bw=4, se=True)),
+    "seresnext50_32x4d": ((3, 4, 6, 3), "bottleneck", "7x7", "conv",
+                          dict(card=32, bw=4, se=True)),
+    "seresnext101_32x4d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                           dict(card=32, bw=4, se=True)),
+    "seresnext101_32x8d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                           dict(card=32, bw=8, se=True)),
 }
 _PLANES = (64, 128, 256, 512)
 
 
+def _resnet_cfg(variant: str):
+    """(layers, block, stem, down, cardinality, base_width, se)."""
+    cfg = RESNETS[variant]
+    extras = cfg[4] if len(cfg) > 4 else {}
+    return (cfg[0], cfg[1], cfg[2], cfg[3], extras.get("card", 1),
+            extras.get("bw", 64), extras.get("se", False))
+
+
 def resnet_feature_channels(variant: str, n_stages: int = 4) -> int:
-    _, block, _, _ = RESNETS[variant]
+    _, block, _, _ = RESNETS[variant][:4]
     return _PLANES[n_stages - 1] * (4 if block == "bottleneck" else 1)
 
 
+def _se_resnet_p(rng, channels: int) -> Params:
+    """SEModule(channels, reduction=16) params: reduce = max(8, c//16)
+    (layers/se.py:16-28, make_divisible divisor 1 min 8)."""
+    red = max(8, channels // 16)
+    k1, k2 = jax.random.split(rng)
+    return {
+        "reduce_w": jax.random.normal(k1, (channels, red), jnp.float32)
+        * np.sqrt(2.0 / red),
+        "reduce_b": jnp.zeros((red,), jnp.float32),
+        "expand_w": jax.random.normal(k2, (red, channels), jnp.float32)
+        * np.sqrt(2.0 / channels),
+        "expand_b": jnp.zeros((channels,), jnp.float32),
+    }
+
+
+def _se_apply(x, p):
+    """Channel SE with relu inner act + sigmoid gate (layers/se.py:30-35)."""
+    s = jnp.mean(x, axis=(1, 2))
+    s = jax.nn.relu(s @ p["reduce_w"] + p["reduce_b"])
+    s = s @ p["expand_w"] + p["expand_b"]
+    return x * jax.nn.sigmoid(s)[:, None, None, :]
+
+
 def init_resnet(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
-    layers, block, stem, _ = RESNETS[variant]
+    layers, block, stem, _, card, bw, se = _resnet_cfg(variant)
     ks = iter(jax.random.split(rng, 512))
     if stem == "deep":
         stem_p = {
@@ -210,15 +273,16 @@ def init_resnet(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
     p: Params = {"stem": stem_p, "stages": []}
     prev = 64
     for si, depth in enumerate(layers[:n_stages]):
-        mid = _PLANES[si]
-        out = mid * (4 if block == "bottleneck" else 1)
+        planes = _PLANES[si]
+        mid = int(planes * bw / 64) * card
+        out = planes * (4 if block == "bottleneck" else 1)
         blocks = []
         for b in range(depth):
             if block == "bottleneck":
                 blk = {
                     "conv1": _kaiming(next(ks), (1, 1, prev, mid)),
                     "bn1": _bn_p(mid),
-                    "conv2": _kaiming(next(ks), (3, 3, mid, mid)),
+                    "conv2": _kaiming(next(ks), (3, 3, mid // card, mid)),
                     "bn2": _bn_p(mid),
                     "conv3": _kaiming(next(ks), (1, 1, mid, out)),
                     "bn3": _bn_p(out),
@@ -230,6 +294,8 @@ def init_resnet(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
                     "conv2": _kaiming(next(ks), (3, 3, mid, out)),
                     "bn2": _bn_p(out),
                 }
+            if se:
+                blk["se"] = _se_resnet_p(next(ks), out)
             s = (1 if si == 0 else 2) if b == 0 else 1
             if b == 0 and (s != 1 or prev != out):
                 blk["down_conv"] = _kaiming(next(ks), (1, 1, prev, out))
@@ -243,7 +309,7 @@ def init_resnet(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
 def apply_resnet(p: Params, images: jnp.ndarray,
                  variant: str) -> jnp.ndarray:
     """(B, H, W, 3) -> (B, H/2^(1+n_stages), W/..., C) feature map."""
-    _, block, stem, down = RESNETS[variant]
+    _, block, stem, down, card, _, _ = _resnet_cfg(variant)
     if stem == "deep":
         x = _batch_norm(_conv(_pad1(images), p["stem"]["conv1"], 2, "VALID"),
                         p["stem"]["bn1"])
@@ -271,8 +337,9 @@ def apply_resnet(p: Params, images: jnp.ndarray,
                 shortcut = _batch_norm(d, blk["down_bn"], act=False)
             if block == "bottleneck":
                 y = _batch_norm(_conv(x, blk["conv1"], 1), blk["bn1"])
-                y = _batch_norm(_conv(_pad1(y), blk["conv2"], s, "VALID"),
-                                blk["bn2"])
+                y = _batch_norm(
+                    _conv(_pad1(y), blk["conv2"], s, "VALID", groups=card),
+                    blk["bn2"])
                 y = _batch_norm(_conv(y, blk["conv3"], 1), blk["bn3"],
                                 act=False)
             else:
@@ -281,6 +348,8 @@ def apply_resnet(p: Params, images: jnp.ndarray,
                                 blk["bn1"])
                 y = _batch_norm(_conv(_pad1(y), blk["conv2"], 1, "VALID"),
                                 blk["bn2"], act=False)
+            if "se" in blk:
+                y = _se_apply(y, blk["se"])
             x = jax.nn.relu(y + shortcut)
     return x
 
@@ -343,7 +412,7 @@ def _bn_from(sd, base):
 
 def load_resnet(params: Params, sd: Dict[str, Any], variant: str,
                 prefix: str = "patch_embed.backbone.") -> Params:
-    _, block, stem, down = RESNETS[variant]
+    _, block, stem, down = RESNETS[variant][:4]
     if stem == "deep":
         stem_p = {
             "conv1": _w(sd, prefix + "conv1.0.weight"),
@@ -368,6 +437,15 @@ def load_resnet(params: Params, sd: Dict[str, Any], variant: str,
             for ci in range(1, n_convs + 1):
                 nb[f"conv{ci}"] = _w(sd, base + f"conv{ci}.weight")
                 nb[f"bn{ci}"] = _bn_from(sd, base + f"bn{ci}")
+            if "se" in blk:
+                rw = np.asarray(sd[base + "se.fc1.weight"])[:, :, 0, 0]
+                ew = np.asarray(sd[base + "se.fc2.weight"])[:, :, 0, 0]
+                nb["se"] = {
+                    "reduce_w": jnp.asarray(rw.T, jnp.float32),
+                    "reduce_b": _v(sd, base + "se.fc1.bias"),
+                    "expand_w": jnp.asarray(ew.T, jnp.float32),
+                    "expand_b": _v(sd, base + "se.fc2.bias"),
+                }
             if "down_conv" in blk:
                 nb["down_conv"] = _w(sd, base + f"downsample.{dci}.weight")
                 nb["down_bn"] = _bn_from(sd, base + f"downsample.{dci + 1}")
