@@ -422,11 +422,12 @@ class TestResNetParity:
     """Golden parity vs the reference's vendored timm resnets, covering
     basic/bottleneck x 7x7/deep-stem x conv/avg-down."""
 
-    def _compare(self, name, img=224):
+    def _compare(self, name, img=224, module="resnet"):
         from reference_harness import install
         install()
+        import importlib
         import torch
-        from timm.models import resnet as TR
+        TR = importlib.import_module(f"timm.models.{module}")
         torch.manual_seed(0)
         tm = getattr(TR, name)(pretrained=False)
         tm.eval()
@@ -468,6 +469,15 @@ class TestResNetParity:
 
     def test_seresnext26d_parity(self):
         self._compare("seresnext26d_32x4d")  # SE + groups + deep/avg
+
+    def test_res2net50_parity(self):
+        self._compare("res2net50_26w_4s", module="res2net")
+
+    def test_res2next50_parity(self):
+        self._compare("res2next50", module="res2net")  # card 8, bw 4
+
+    def test_res2net50_48w_2s_parity(self):
+        self._compare("res2net50_48w_2s", module="res2net")  # scale 2
 
 
 class TestEfficientNets:

@@ -218,21 +218,38 @@ RESNETS = {
                            dict(card=32, bw=4, se=True)),
     "seresnext101_32x8d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
                            dict(card=32, bw=8, se=True)),
+    # res2net/res2next: scale-split Bottle2neck in the standard ResNet
+    # shell (reference res2net.py:48-133, registrations :140-216)
+    "res2net50_26w_4s": ((3, 4, 6, 3), "res2", "7x7", "conv",
+                         dict(bw=26, scale=4)),
+    "res2net101_26w_4s": ((3, 4, 23, 3), "res2", "7x7", "conv",
+                          dict(bw=26, scale=4)),
+    "res2net50_26w_6s": ((3, 4, 6, 3), "res2", "7x7", "conv",
+                         dict(bw=26, scale=6)),
+    "res2net50_26w_8s": ((3, 4, 6, 3), "res2", "7x7", "conv",
+                         dict(bw=26, scale=8)),
+    "res2net50_48w_2s": ((3, 4, 6, 3), "res2", "7x7", "conv",
+                         dict(bw=48, scale=2)),
+    "res2net50_14w_8s": ((3, 4, 6, 3), "res2", "7x7", "conv",
+                         dict(bw=14, scale=8)),
+    "res2next50": ((3, 4, 6, 3), "res2", "7x7", "conv",
+                   dict(card=8, bw=4, scale=4)),
 }
 _PLANES = (64, 128, 256, 512)
 
 
 def _resnet_cfg(variant: str):
-    """(layers, block, stem, down, cardinality, base_width, se)."""
+    """(layers, block, stem, down, cardinality, base_width, se, scale)."""
     cfg = RESNETS[variant]
     extras = cfg[4] if len(cfg) > 4 else {}
     return (cfg[0], cfg[1], cfg[2], cfg[3], extras.get("card", 1),
-            extras.get("bw", 64), extras.get("se", False))
+            extras.get("bw", 64), extras.get("se", False),
+            extras.get("scale", 4))
 
 
 def resnet_feature_channels(variant: str, n_stages: int = 4) -> int:
     _, block, _, _ = RESNETS[variant][:4]
-    return _PLANES[n_stages - 1] * (4 if block == "bottleneck" else 1)
+    return _PLANES[n_stages - 1] * (1 if block == "basic" else 4)
 
 
 def _se_resnet_p(rng, channels: int) -> Params:
@@ -259,7 +276,7 @@ def _se_apply(x, p):
 
 
 def init_resnet(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
-    layers, block, stem, _, card, bw, se = _resnet_cfg(variant)
+    layers, block, stem, _, card, bw, se, scale = _resnet_cfg(variant)
     ks = iter(jax.random.split(rng, 512))
     if stem == "deep":
         stem_p = {
@@ -275,10 +292,21 @@ def init_resnet(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
     for si, depth in enumerate(layers[:n_stages]):
         planes = _PLANES[si]
         mid = int(planes * bw / 64) * card
-        out = planes * (4 if block == "bottleneck" else 1)
+        out = planes * (1 if block == "basic" else 4)
         blocks = []
         for b in range(depth):
-            if block == "bottleneck":
+            if block == "res2":
+                num_scales = max(1, scale - 1)
+                blk = {
+                    "conv1": _kaiming(next(ks), (1, 1, prev, mid * scale)),
+                    "bn1": _bn_p(mid * scale),
+                    "convs": [_kaiming(next(ks), (3, 3, mid // card, mid))
+                              for _ in range(num_scales)],
+                    "bns": [_bn_p(mid) for _ in range(num_scales)],
+                    "conv3": _kaiming(next(ks), (1, 1, mid * scale, out)),
+                    "bn3": _bn_p(out),
+                }
+            elif block == "bottleneck":
                 blk = {
                     "conv1": _kaiming(next(ks), (1, 1, prev, mid)),
                     "bn1": _bn_p(mid),
@@ -309,7 +337,7 @@ def init_resnet(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
 def apply_resnet(p: Params, images: jnp.ndarray,
                  variant: str) -> jnp.ndarray:
     """(B, H, W, 3) -> (B, H/2^(1+n_stages), W/..., C) feature map."""
-    _, block, stem, down, card, _, _ = _resnet_cfg(variant)
+    _, block, stem, down, card, _, _, scale = _resnet_cfg(variant)
     if stem == "deep":
         x = _batch_norm(_conv(_pad1(images), p["stem"]["conv1"], 2, "VALID"),
                         p["stem"]["bn1"])
@@ -335,7 +363,36 @@ def apply_resnet(p: Params, images: jnp.ndarray,
                 else:
                     d = _conv(x, blk["down_conv"], s)
                 shortcut = _batch_norm(d, blk["down_bn"], act=False)
-            if block == "bottleneck":
+            if block == "res2":
+                # Bottle2neck (res2net.py:96-133): hierarchical residual
+                # conv over `scale` width-chunks of the expanded features
+                width = blk["convs"][0].shape[-1]
+                y = _batch_norm(_conv(x, blk["conv1"], 1), blk["bn1"])
+                spx = [y[..., i * width:(i + 1) * width]
+                       for i in range(scale)]
+                is_first = "down_conv" in blk
+                spo = []
+                sp = spx[0]
+                for i, (cw, bn) in enumerate(zip(blk["convs"], blk["bns"])):
+                    sp = spx[i] if (i == 0 or is_first) else sp + spx[i]
+                    sp = _batch_norm(
+                        _conv(_pad1(sp), cw, s, "VALID", groups=card), bn)
+                    spo.append(sp)
+                if scale > 1:
+                    if is_first:
+                        # AvgPool2d(3, s, pad 1) with count_include_pad
+                        t = jnp.pad(spx[-1],
+                                    ((0, 0), (1, 1), (1, 1), (0, 0)))
+                        t = jax.lax.reduce_window(
+                            t, 0.0, jax.lax.add, (1, 3, 3, 1),
+                            (1, s, s, 1), "VALID") / 9.0
+                        spo.append(t)
+                    else:
+                        spo.append(spx[-1])
+                y = jnp.concatenate(spo, axis=-1)
+                y = _batch_norm(_conv(y, blk["conv3"], 1), blk["bn3"],
+                                act=False)
+            elif block == "bottleneck":
                 y = _batch_norm(_conv(x, blk["conv1"], 1), blk["bn1"])
                 y = _batch_norm(
                     _conv(_pad1(y), blk["conv2"], s, "VALID", groups=card),
@@ -426,7 +483,7 @@ def load_resnet(params: Params, sd: Dict[str, Any], variant: str,
         stem_p = {"conv1": _w(sd, prefix + "conv1.weight"),
                   "bn1": _bn_from(sd, prefix + "bn1")}
     p = {"stem": stem_p, "stages": []}
-    n_convs = 3 if block == "bottleneck" else 2
+    n_convs = 2 if block == "basic" else 3
     # avg-down Sequential is [pool, conv, bn]; conv-down is [conv, bn]
     dci = 1 if down == "avg" else 0
     for si, blocks in enumerate(params["stages"]):
@@ -434,9 +491,19 @@ def load_resnet(params: Params, sd: Dict[str, Any], variant: str,
         for bi, blk in enumerate(blocks):
             base = f"{prefix}layer{si + 1}.{bi}."
             nb = {}
-            for ci in range(1, n_convs + 1):
-                nb[f"conv{ci}"] = _w(sd, base + f"conv{ci}.weight")
-                nb[f"bn{ci}"] = _bn_from(sd, base + f"bn{ci}")
+            if block == "res2":
+                nb["conv1"] = _w(sd, base + "conv1.weight")
+                nb["bn1"] = _bn_from(sd, base + "bn1")
+                nb["convs"] = [_w(sd, base + f"convs.{i}.weight")
+                               for i in range(len(blk["convs"]))]
+                nb["bns"] = [_bn_from(sd, base + f"bns.{i}")
+                             for i in range(len(blk["bns"]))]
+                nb["conv3"] = _w(sd, base + "conv3.weight")
+                nb["bn3"] = _bn_from(sd, base + "bn3")
+            else:
+                for ci in range(1, n_convs + 1):
+                    nb[f"conv{ci}"] = _w(sd, base + f"conv{ci}.weight")
+                    nb[f"bn{ci}"] = _bn_from(sd, base + f"bn{ci}")
             if "se" in blk:
                 rw = np.asarray(sd[base + "se.fc1.weight"])[:, :, 0, 0]
                 ew = np.asarray(sd[base + "se.fc2.weight"])[:, :, 0, 0]
