@@ -13,13 +13,14 @@ Prints one JSON line.
 import argparse
 import json
 import time
-from vitcap_tpu.utils.common import asset_path
 
 import numpy as np
 
 import os as _os
 import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+from vitcap_tpu.utils.common import asset_path
 
 
 def main():

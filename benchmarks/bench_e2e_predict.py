@@ -23,13 +23,14 @@ import os
 import os.path as op
 import shutil
 import time
-from vitcap_tpu.utils.common import asset_path
 
 import numpy as np
 
 import os as _os
 import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+from vitcap_tpu.utils.common import asset_path
 
 VOCAB = asset_path("VILT-L12-H784-uncased_16_384", "vocab.txt")
 CLASSES = ["dog", "cat", "car", "person", "tree", "house", "bird", "chair",

@@ -342,3 +342,108 @@ class TestUint8Feed:
                                    rtol=1e-4, atol=1e-5)
         assert np.array_equal(np.asarray(out_u["pred_topk"]),
                               np.asarray(out_f["pred_topk"]))
+
+
+class TestNativeImage:
+    """Fused C++ decode+resize+crop (data/native_image.py) vs the PIL
+    reference path (transforms.py TestImageTransform)."""
+
+    @staticmethod
+    def _jpeg(h, w, seed=0, quality=90):
+        import io
+        from PIL import Image
+        rng = np.random.RandomState(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([(np.sin(xx / 37.0) + 1) * 110 + rng.randn(h, w) * 6,
+                        (np.cos(yy / 23.0) + 1) * 100 + rng.randn(h, w) * 6,
+                        ((xx + yy) % 251) / 250.0 * 200
+                        + rng.randn(h, w) * 6], -1)
+        buf = io.BytesIO()
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)) \
+            .save(buf, "JPEG", quality=quality)
+        return buf.getvalue()
+
+    def _pil_ref(self, data, crop, crop_pct):
+        import io
+        from PIL import Image
+        from vitcap_tpu.data.transforms import TestImageTransform
+        t = TestImageTransform(crop_size=crop, crop_pct=crop_pct,
+                               emit_uint8=True, backend="pil")
+        return t(Image.open(io.BytesIO(data)).convert("RGB"))
+
+    def test_exact_mode_bit_exact(self):
+        from vitcap_tpu.data import native_image as NI
+        if not NI.available():
+            pytest.skip("native imageproc toolchain unavailable")
+        for (h, w), crop, pct in [((480, 640), 384, 1.0),
+                                  ((500, 500), 384, 1.0),
+                                  ((300, 200), 128, 0.875),
+                                  ((640, 480), 224, 0.9)]:
+            data = self._jpeg(h, w, seed=h + w)
+            from vitcap_tpu.data.transforms import TestImageTransform
+            t = TestImageTransform(crop_size=crop, crop_pct=pct,
+                                   emit_uint8=True, backend="native")
+            out = t.from_jpeg_bytes(data)
+            ref = self._pil_ref(data, crop, pct)
+            assert out is not None
+            np.testing.assert_array_equal(out, ref)
+
+    def test_fast_mode_close(self):
+        from vitcap_tpu.data import native_image as NI
+        if not NI.available():
+            pytest.skip("native imageproc toolchain unavailable")
+        data = self._jpeg(1200, 1600)
+        out = NI.decode_resize_center_crop(data, 384, 384, fast=True)
+        ref = self._pil_ref(data, 384, 1.0)
+        assert out.shape == ref.shape
+        d = np.abs(out.astype(int) - ref.astype(int))
+        assert d.mean() < 1.5 and (d > 25).mean() < 1e-3
+
+    def test_normalized_output_matches_pil_path(self):
+        from vitcap_tpu.data import native_image as NI
+        if not NI.available():
+            pytest.skip("native imageproc toolchain unavailable")
+        import io
+        from PIL import Image
+        from vitcap_tpu.data.transforms import TestImageTransform
+        data = self._jpeg(240, 320)
+        tn = TestImageTransform(crop_size=128, backend="native")
+        tp = TestImageTransform(crop_size=128, backend="pil")
+        a = tn.from_jpeg_bytes(data)
+        b = tp(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert a.dtype == np.float32
+        np.testing.assert_array_equal(a, b)
+
+    def test_non_jpeg_falls_back(self):
+        import io
+        from PIL import Image
+        from vitcap_tpu.data.transforms import TestImageTransform
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(buf, "PNG")
+        t = TestImageTransform(crop_size=32, emit_uint8=True,
+                               backend="native")
+        assert t.from_jpeg_bytes(buf.getvalue()) is None  # caller -> PIL
+
+    def test_loadimage_integration(self, tmp_path):
+        """LoadImage routes JPEG rows through the native path and matches
+        the PIL-backend pipeline output exactly."""
+        import base64
+        from vitcap_tpu.data.tsv import tsv_writer
+        from vitcap_tpu.data.dataset import LoadImage
+        from vitcap_tpu.data.transforms import TestImageTransform
+        data_root = tmp_path
+        d = data_root / "demo"
+        d.mkdir(parents=True)
+        rows = [[f"k{i}",
+                 base64.b64encode(self._jpeg(200 + 10 * i, 300)).decode()]
+                for i in range(3)]
+        tsv_writer(rows, str(d / "test.tsv"))
+        outs = {}
+        for backend in ("native", "pil"):
+            t = TestImageTransform(crop_size=96, emit_uint8=True,
+                                   backend=backend)
+            li = LoadImage("demo", "test", image_transform=t,
+                           data_root=str(data_root))
+            outs[backend] = [li({"idx_img": i})["image"] for i in range(3)]
+        for a, b in zip(outs["native"], outs["pil"]):
+            np.testing.assert_array_equal(a, b)

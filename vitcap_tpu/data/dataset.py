@@ -138,9 +138,17 @@ class LoadImage:
 
     def __call__(self, data):
         row = self.tsv[data["idx_img"]]
-        img = img_from_base64(row[-1])
-        if self.image_transform is not None:
-            img = self.image_transform(img)
+        img = None
+        tf = self.image_transform
+        if tf is not None and hasattr(tf, "from_jpeg_bytes"):
+            # fused native decode+resize+crop (transforms.py); returns
+            # None for non-JPEG payloads or when the lib is unavailable
+            import base64 as _b64
+            img = tf.from_jpeg_bytes(_b64.b64decode(row[-1]))
+        if img is None:
+            img = img_from_base64(row[-1])
+            if tf is not None:
+                img = tf(img)
         data["image"] = img
         if self.add_key:
             data["key"] = row[0]

@@ -257,9 +257,12 @@ class CaptionUniPipeline(UniPipeline):
                 small_scale=self.cfg.input_small_scale,
                 patchify=patch, emit_uint8=u8)
         else:
-            img_t = TestImageTransform(crop_size=self.cfg.test_crop_size,
-                                       crop_pct=self.cfg.crop_pct,
-                                       patchify=patch, emit_uint8=u8)
+            img_t = TestImageTransform(
+                crop_size=self.cfg.test_crop_size,
+                crop_pct=self.cfg.crop_pct,
+                patchify=patch, emit_uint8=u8,
+                backend=self.cfg.get("image_backend") or "native",
+                fast_decode=bool(self.cfg.get("image_fast_decode")))
         ops = [LoadHW(data, split, data_root=root),
                LoadImage(data, split, image_transform=img_t, data_root=root)]
         if is_train:
