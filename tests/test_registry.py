@@ -758,3 +758,59 @@ class TestDenseNetParity:
 
     def test_densenet121d_parity(self):
         self._compare("densenet121d")   # deep 3x3x3 stem
+
+
+class TestVovNets:
+    def test_names_and_shapes(self):
+        from vitcap_tpu.models.vovnet import VOVNETS
+        for n in VOVNETS:
+            assert R.is_model(n), n
+        m = R.create_model("ese_vovnet19b_slim", num_classes=5)
+        x = jnp.zeros((1, 64, 64, 3))
+        assert m.apply(m.params, x).shape == (1, 2, 2, 512)
+        assert m.apply(m.params, x, head=True).shape == (1, 5)
+
+
+@pytest.mark.slow
+class TestVovNetParity:
+    """Golden parity vs the reference's vendored timm vovnet family:
+    OSA concat blocks, separable-conv variants, ESE/ECA attention,
+    ceil-mode maxpool (vovnet.py:166-345)."""
+
+    def _compare(self, name, img=96):
+        from reference_harness import install
+        install()
+        import torch
+        from timm.models import vovnet as TV
+        torch.manual_seed(0)
+        tm = getattr(TV, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_vovnet39a_parity(self):
+        self._compare("vovnet39a")          # plain OSA, no attn/residual
+
+    def test_ese_vovnet19b_dw_parity(self):
+        self._compare("ese_vovnet19b_dw")   # separable convs + ESE
+
+    def test_eca_vovnet39b_parity(self):
+        self._compare("eca_vovnet39b")      # ECA conv1d attention

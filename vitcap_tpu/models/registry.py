@@ -424,6 +424,83 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone VoVNet classifiers (the reference zoo's vovnet family,
+#    vovnet.py:348-412) --
+
+@dataclasses.dataclass(frozen=True)
+class VovNetModelSpec:
+    """Static description of a VoVNet v2 classifier (global-avg-pool head
+    over a vovnet.py OSA feature extractor)."""
+    name: str
+    variant: str                   # key of vovnet.VOVNETS
+    num_classes: int = 1000
+    img_size: int = 224
+
+    @property
+    def feature_channels(self) -> int:
+        from .vovnet import vovnet_feature_channels
+        return vovnet_feature_channels(self.variant)
+
+
+def _register_vovnets():
+    from .vovnet import VOVNETS
+
+    def make_builder(vname):
+        def builder(**kw):
+            kw.setdefault("img_size", 224)
+            return VovNetModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in VOVNETS:
+        register_model(make_builder(vname))
+
+
+_register_vovnets()
+
+
+def init_vovnet_params(rng: jax.Array, spec: VovNetModelSpec) -> Params:
+    from .vovnet import init_vovnet
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_vovnet(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def vovnet_forward(params: Params, images: jnp.ndarray,
+                   spec: VovNetModelSpec, head: bool = False,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """head=False -> NHWC final-stage feature map (the reference
+    forward_features, vovnet.py:341-342); head=True -> global-avg-pool
+    + classifier logits (ClassifierHead, head.fc)."""
+    from .vovnet import apply_vovnet
+    x = apply_vovnet(params["backbone"], images.astype(dtype), spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_vovnet_checkpoint(params: Params, path: str,
+                           spec: VovNetModelSpec) -> Params:
+    from .vovnet import load_vovnet
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_vovnet(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["head.fc.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["head.fc.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- standalone DenseNet classifiers (the reference zoo's densenet family,
 #    densenet.py:295-365) --
 
@@ -886,6 +963,17 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, VovNetModelSpec):
+        params = init_vovnet_params(rng if rng is not None
+                                    else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_vovnet_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return vovnet_forward(params, images, spec, head=head,
+                                  dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, DenseNetModelSpec):
         params = init_densenet_params(rng if rng is not None
                                       else jax.random.PRNGKey(0), spec)
