@@ -479,6 +479,15 @@ class TestResNetParity:
     def test_res2net50_48w_2s_parity(self):
         self._compare("res2net50_48w_2s", module="res2net")  # scale 2
 
+    def test_gluon_v1s_parity(self):
+        self._compare("gluon_resnet50_v1s", module="gluon_resnet")
+
+    def test_gluon_v1c_parity(self):
+        self._compare("gluon_resnet50_v1c", module="gluon_resnet")
+
+    def test_gluon_seresnext_parity(self):
+        self._compare("gluon_seresnext50_32x4d", module="gluon_resnet")
+
 
 class TestEfficientNets:
     def test_names_and_shapes(self):

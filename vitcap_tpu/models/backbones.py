@@ -235,6 +235,38 @@ RESNETS = {
     "res2next50": ((3, 4, 6, 3), "res2", "7x7", "conv",
                    dict(card=8, bw=4, scale=4)),
 }
+
+# gluon model-zoo re-parameterizations of the same ResNet shell
+# (reference gluon_resnet.py:65-236): v1b = standard, v1c = deep stem +
+# conv-down, v1d = deep stem + avg-down, v1s = 64-wide deep stem
+RESNETS.update({
+    "gluon_resnet18_v1b": ((2, 2, 2, 2), "basic", "7x7", "conv"),
+    "gluon_resnet34_v1b": ((3, 4, 6, 3), "basic", "7x7", "conv"),
+    "gluon_resnet50_v1b": ((3, 4, 6, 3), "bottleneck", "7x7", "conv"),
+    "gluon_resnet101_v1b": ((3, 4, 23, 3), "bottleneck", "7x7", "conv"),
+    "gluon_resnet152_v1b": ((3, 8, 36, 3), "bottleneck", "7x7", "conv"),
+    "gluon_resnet50_v1c": ((3, 4, 6, 3), "bottleneck", "deep", "conv"),
+    "gluon_resnet101_v1c": ((3, 4, 23, 3), "bottleneck", "deep", "conv"),
+    "gluon_resnet152_v1c": ((3, 8, 36, 3), "bottleneck", "deep", "conv"),
+    "gluon_resnet50_v1d": ((3, 4, 6, 3), "bottleneck", "deep", "avg"),
+    "gluon_resnet101_v1d": ((3, 4, 23, 3), "bottleneck", "deep", "avg"),
+    "gluon_resnet152_v1d": ((3, 8, 36, 3), "bottleneck", "deep", "avg"),
+    "gluon_resnet50_v1s": ((3, 4, 6, 3), "bottleneck", "deep64", "conv"),
+    "gluon_resnet101_v1s": ((3, 4, 23, 3), "bottleneck", "deep64", "conv"),
+    "gluon_resnet152_v1s": ((3, 8, 36, 3), "bottleneck", "deep64", "conv"),
+    "gluon_resnext50_32x4d": ((3, 4, 6, 3), "bottleneck", "7x7", "conv",
+                              dict(card=32, bw=4)),
+    "gluon_resnext101_32x4d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                               dict(card=32, bw=4)),
+    "gluon_resnext101_64x4d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                               dict(card=64, bw=4)),
+    "gluon_seresnext50_32x4d": ((3, 4, 6, 3), "bottleneck", "7x7", "conv",
+                                dict(card=32, bw=4, se=True)),
+    "gluon_seresnext101_32x4d": ((3, 4, 23, 3), "bottleneck", "7x7",
+                                 "conv", dict(card=32, bw=4, se=True)),
+    "gluon_seresnext101_64x4d": ((3, 4, 23, 3), "bottleneck", "7x7",
+                                 "conv", dict(card=64, bw=4, se=True)),
+})
 _PLANES = (64, 128, 256, 512)
 
 
@@ -278,17 +310,20 @@ def _se_apply(x, p):
 def init_resnet(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
     layers, block, stem, _, card, bw, se, scale = _resnet_cfg(variant)
     ks = iter(jax.random.split(rng, 512))
-    if stem == "deep":
+    if stem in ("deep", "deep64"):
+        sw = 64 if stem == "deep64" else 32
         stem_p = {
-            "conv1": _kaiming(next(ks), (3, 3, 3, 32)), "bn1": _bn_p(32),
-            "conv2": _kaiming(next(ks), (3, 3, 32, 32)), "bn2": _bn_p(32),
-            "conv3": _kaiming(next(ks), (3, 3, 32, 64)), "bn3": _bn_p(64),
+            "conv1": _kaiming(next(ks), (3, 3, 3, sw)), "bn1": _bn_p(sw),
+            "conv2": _kaiming(next(ks), (3, 3, sw, sw)), "bn2": _bn_p(sw),
+            "conv3": _kaiming(next(ks), (3, 3, sw, 2 * sw)),
+            "bn3": _bn_p(2 * sw),
         }
+        prev = 2 * sw
     else:
         stem_p = {"conv1": _kaiming(next(ks), (7, 7, 3, 64)),
                   "bn1": _bn_p(64)}
+        prev = 64
     p: Params = {"stem": stem_p, "stages": []}
-    prev = 64
     for si, depth in enumerate(layers[:n_stages]):
         planes = _PLANES[si]
         mid = int(planes * bw / 64) * card
@@ -338,7 +373,7 @@ def apply_resnet(p: Params, images: jnp.ndarray,
                  variant: str) -> jnp.ndarray:
     """(B, H, W, 3) -> (B, H/2^(1+n_stages), W/..., C) feature map."""
     _, block, stem, down, card, _, _, scale = _resnet_cfg(variant)
-    if stem == "deep":
+    if stem in ("deep", "deep64"):
         x = _batch_norm(_conv(_pad1(images), p["stem"]["conv1"], 2, "VALID"),
                         p["stem"]["bn1"])
         x = _batch_norm(_conv(_pad1(x), p["stem"]["conv2"], 1, "VALID"),
@@ -470,7 +505,7 @@ def _bn_from(sd, base):
 def load_resnet(params: Params, sd: Dict[str, Any], variant: str,
                 prefix: str = "patch_embed.backbone.") -> Params:
     _, block, stem, down = RESNETS[variant][:4]
-    if stem == "deep":
+    if stem in ("deep", "deep64"):
         stem_p = {
             "conv1": _w(sd, prefix + "conv1.0.weight"),
             "bn1": _bn_from(sd, prefix + "conv1.1"),
