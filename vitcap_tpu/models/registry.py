@@ -424,6 +424,66 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone Xception classifier (the reference zoo's xception.py) --
+
+@dataclasses.dataclass(frozen=True)
+class XceptionModelSpec:
+    """Static description of the Xception classifier."""
+    name: str = "xception"
+    num_classes: int = 1000
+    img_size: int = 299
+
+    @property
+    def feature_channels(self) -> int:
+        from .xception import XCEPTION_FEATURES
+        return XCEPTION_FEATURES
+
+
+@register_model
+def xception(**kw):
+    return XceptionModelSpec(**kw)
+
+
+def init_xception_params(rng: jax.Array, spec: XceptionModelSpec) -> Params:
+    from .xception import init_xception
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_xception(k_bb)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def xception_forward(params: Params, images: jnp.ndarray,
+                     spec: XceptionModelSpec, head: bool = False,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    """head=False -> post-act4 NHWC feature map (the reference
+    forward_features, xception.py:182-211); head=True -> pooled logits."""
+    from .xception import apply_xception
+    x = apply_xception(params["backbone"], images.astype(dtype))
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_xception_checkpoint(params: Params, path: str,
+                             spec: XceptionModelSpec) -> Params:
+    from .xception import load_xception
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_xception(params["backbone"], sd)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["fc.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["fc.bias"]), jnp.float32),
+        }
+    return out
+
+
 # -- standalone VoVNet classifiers (the reference zoo's vovnet family,
 #    vovnet.py:348-412) --
 
@@ -963,6 +1023,17 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, XceptionModelSpec):
+        params = init_xception_params(rng if rng is not None
+                                      else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_xception_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return xception_forward(params, images, spec, head=head,
+                                    dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, VovNetModelSpec):
         params = init_vovnet_params(rng if rng is not None
                                     else jax.random.PRNGKey(0), spec)
