@@ -859,3 +859,49 @@ class TestXceptionParity:
         j_out = m.apply(m.params, jnp.asarray(x), head=True)
         np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
                                    rtol=2e-3, atol=5e-4)
+
+
+@pytest.mark.slow
+class TestResNestParity:
+    """Golden parity vs the reference's vendored timm resnest family:
+    split-attention conv (radix softmax / sigmoid), avd pooling, grouped
+    attention fcs (resnest.py:54-131, layers/split_attn.py)."""
+
+    def _compare(self, name, img=96):
+        from reference_harness import install
+        install()
+        import importlib
+        import torch
+        TR = importlib.import_module("timm.models.resnest")
+        torch.manual_seed(0)
+        tm = getattr(TR, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_resnest26d_parity(self):
+        self._compare("resnest26d")          # radix 2, card 1, avd-last
+
+    def test_resnest50d_4s2x40d_parity(self):
+        self._compare("resnest50d_4s2x40d")  # radix 4, card 2, avd-first
+
+    def test_resnest50d_1s4x24d_parity(self):
+        self._compare("resnest50d_1s4x24d")  # radix 1 (sigmoid), card 4

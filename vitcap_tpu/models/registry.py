@@ -424,6 +424,80 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone ResNeSt classifiers (the reference zoo's resnest family,
+#    resnest.py:134-231) --
+
+@dataclasses.dataclass(frozen=True)
+class ResNestModelSpec:
+    """Static description of a ResNeSt classifier (split-attention
+    bottleneck ResNet, resnest.py)."""
+    name: str
+    variant: str                   # key of resnest.RESNESTS
+    num_classes: int = 1000
+    img_size: int = 224
+
+    @property
+    def feature_channels(self) -> int:
+        from .resnest import resnest_feature_channels
+        return resnest_feature_channels(self.variant)
+
+
+def _register_resnests():
+    from .resnest import RESNESTS
+
+    def make_builder(vname):
+        def builder(**kw):
+            kw.setdefault("img_size", 224)
+            return ResNestModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in RESNESTS:
+        register_model(make_builder(vname))
+
+
+_register_resnests()
+
+
+def init_resnest_params(rng: jax.Array, spec: ResNestModelSpec) -> Params:
+    from .resnest import init_resnest
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_resnest(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def resnest_forward(params: Params, images: jnp.ndarray,
+                    spec: ResNestModelSpec, head: bool = False,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    from .resnest import apply_resnest
+    x = apply_resnest(params["backbone"], images.astype(dtype),
+                      spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_resnest_checkpoint(params: Params, path: str,
+                            spec: ResNestModelSpec) -> Params:
+    from .resnest import load_resnest
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_resnest(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["fc.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["fc.bias"]), jnp.float32),
+        }
+    return out
+
+
 # -- standalone Xception classifier (the reference zoo's xception.py) --
 
 @dataclasses.dataclass(frozen=True)
@@ -1023,6 +1097,17 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, ResNestModelSpec):
+        params = init_resnest_params(rng if rng is not None
+                                     else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_resnest_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return resnest_forward(params, images, spec, head=head,
+                                   dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, XceptionModelSpec):
         params = init_xception_params(rng if rng is not None
                                       else jax.random.PRNGKey(0), spec)
