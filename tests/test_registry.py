@@ -905,3 +905,49 @@ class TestResNestParity:
 
     def test_resnest50d_1s4x24d_parity(self):
         self._compare("resnest50d_1s4x24d")  # radix 1 (sigmoid), card 4
+
+
+@pytest.mark.slow
+class TestSkNetParity:
+    """Golden parity vs the reference's vendored timm sknet family:
+    two-branch selective-kernel convs (split input, dilation-2 branch,
+    path softmax), basic + bottleneck shells (sknet.py:46-230)."""
+
+    def _compare(self, name, img=96):
+        from reference_harness import install
+        install()
+        import importlib
+        import torch
+        TS = importlib.import_module("timm.models.sknet")
+        torch.manual_seed(0)
+        tm = getattr(TS, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_skresnet18_parity(self):
+        self._compare("skresnet18")         # basic, split input
+
+    def test_skresnet50d_parity(self):
+        self._compare("skresnet50d")        # bottleneck, deep/avg
+
+    def test_skresnext50_parity(self):
+        self._compare("skresnext50_32x4d")  # grouped, no split

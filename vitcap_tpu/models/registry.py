@@ -6,16 +6,19 @@ src/pytorch_image_models/timm/models/factory.py:6-62, registry.py,
 helpers.py:248) with ~40 architecture families, of which ViTCAP uses
 exactly one: the ViT (`vit_base_patch16_384`, uni_pipeline.py:1361-1430).
 
-This registry keeps the same factory surface — string name -> model — for
-the architecture family the framework actually exercises (the full ViT/DeiT
-grid), TPU-native: models are functional (init/apply pairs over param
-pytrees), pos-embeds interpolate bicubically on size mismatch (reference
-vision_transformer.py:416-421), and timm torch checkpoints load through the
-checkpoint bridge's suffix-matching rules.  Beyond the ViT/DeiT grid the
-zoo carries the hybrid CNN-stem ViTs, the standalone resnet family
-(backbones.py), and the efficientnet B/Lite families (efficientnet.py);
-remaining reference families (regnet/dpn/...) are dead weight in the
-reference too and stay unported.
+This registry keeps the same factory surface — string name -> model —
+TPU-native: models are functional (init/apply pairs over param pytrees),
+pos-embeds interpolate bicubically on size mismatch (reference
+vision_transformer.py:416-421), and timm torch checkpoints load through
+the checkpoint bridge's suffix-matching rules.  Families: the full
+ViT/DeiT grid (incl. in21k pre_logits + distilled deit) and hybrid
+CNN-stem ViTs; resnet/resnext/seresnet/res2net + gluon re-params
+(backbones.py); efficientnet B/Lite (efficientnet.py); mobilenetv3
+(mobilenetv3.py); regnet X/Y (regnet.py); densenet (densenet.py);
+vovnet v2 (vovnet.py); resnest (resnest.py); sknet (sknet.py); xception
+(xception.py) — each with golden torch-parity tests in
+tests/test_registry.py.  Remaining reference families (nasnet/hrnet/dla/
+tresnet/...) are dead weight in the reference too.
 
 Usage:
     spec = model_spec("vit_base_patch16_384")
@@ -420,6 +423,78 @@ def load_effnet_checkpoint(params: Params, path: str,
                 np.asarray(sd["classifier.weight"]).T, jnp.float32),
             "bias": jnp.asarray(np.asarray(sd["classifier.bias"]),
                                 jnp.float32),
+        }
+    return out
+
+
+# -- standalone SKNet classifiers (the reference zoo's sknet family,
+#    sknet.py:146-230) --
+
+@dataclasses.dataclass(frozen=True)
+class SkNetModelSpec:
+    """Static description of a Selective-Kernel ResNet classifier."""
+    name: str
+    variant: str                   # key of sknet.SKNETS
+    num_classes: int = 1000
+    img_size: int = 224
+
+    @property
+    def feature_channels(self) -> int:
+        from .sknet import sknet_feature_channels
+        return sknet_feature_channels(self.variant)
+
+
+def _register_sknets():
+    from .sknet import SKNETS
+
+    def make_builder(vname):
+        def builder(**kw):
+            kw.setdefault("img_size", 224)
+            return SkNetModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in SKNETS:
+        register_model(make_builder(vname))
+
+
+_register_sknets()
+
+
+def init_sknet_params(rng: jax.Array, spec: SkNetModelSpec) -> Params:
+    from .sknet import init_sknet
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_sknet(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def sknet_forward(params: Params, images: jnp.ndarray,
+                  spec: SkNetModelSpec, head: bool = False,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    from .sknet import apply_sknet
+    x = apply_sknet(params["backbone"], images.astype(dtype), spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_sknet_checkpoint(params: Params, path: str,
+                          spec: SkNetModelSpec) -> Params:
+    from .sknet import load_sknet
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_sknet(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["fc.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["fc.bias"]), jnp.float32),
         }
     return out
 
@@ -1097,6 +1172,17 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, SkNetModelSpec):
+        params = init_sknet_params(rng if rng is not None
+                                   else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_sknet_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return sknet_forward(params, images, spec, head=head,
+                                 dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, ResNestModelSpec):
         params = init_resnest_params(rng if rng is not None
                                      else jax.random.PRNGKey(0), spec)
