@@ -427,6 +427,79 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone ReXNet classifiers (the reference zoo's rexnet family,
+#    rexnet.py:243-300) --
+
+@dataclasses.dataclass(frozen=True)
+class RexNetModelSpec:
+    """Static description of a ReXNetV1 classifier."""
+    name: str
+    variant: str                   # key of rexnet.REXNETS
+    num_classes: int = 1000
+    img_size: int = 224
+
+    @property
+    def feature_channels(self) -> int:
+        from .rexnet import rexnet_feature_channels
+        return rexnet_feature_channels(self.variant)
+
+
+def _register_rexnets():
+    from .rexnet import REXNETS
+
+    def make_builder(vname):
+        def builder(**kw):
+            kw.setdefault("img_size", 224)
+            return RexNetModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in REXNETS:
+        register_model(make_builder(vname))
+
+
+_register_rexnets()
+
+
+def init_rexnet_params(rng: jax.Array, spec: RexNetModelSpec) -> Params:
+    from .rexnet import init_rexnet
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_rexnet(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def rexnet_forward(params: Params, images: jnp.ndarray,
+                   spec: RexNetModelSpec, head: bool = False,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    from .rexnet import apply_rexnet
+    x = apply_rexnet(params["backbone"], images.astype(dtype), spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_rexnet_checkpoint(params: Params, path: str,
+                           spec: RexNetModelSpec) -> Params:
+    from .rexnet import load_rexnet
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_rexnet(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["head.fc.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["head.fc.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- standalone SKNet classifiers (the reference zoo's sknet family,
 #    sknet.py:146-230) --
 
@@ -1172,6 +1245,17 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, RexNetModelSpec):
+        params = init_rexnet_params(rng if rng is not None
+                                    else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_rexnet_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return rexnet_forward(params, images, spec, head=head,
+                                  dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, SkNetModelSpec):
         params = init_sknet_params(rng if rng is not None
                                    else jax.random.PRNGKey(0), spec)
