@@ -997,3 +997,49 @@ class TestRexNetParity:
 
     def test_rexnetr_130_parity(self):
         self._compare("rexnetr_130")    # ch_div 8 rounding
+
+
+@pytest.mark.slow
+class TestDpnParity:
+    """Golden parity vs the reference's vendored timm dpn family:
+    pre-activation dual-path blocks, residual + dense concat paths,
+    b-variant split 1x1s, ELU final bn (dpn.py:51-260)."""
+
+    def _compare(self, name, img=96):
+        from reference_harness import install
+        install()
+        import importlib
+        import torch
+        TD = importlib.import_module("timm.models.dpn")
+        torch.manual_seed(0)
+        tm = getattr(TD, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_dpn68_parity(self):
+        self._compare("dpn68")      # small stem, no-b
+
+    def test_dpn68b_parity(self):
+        self._compare("dpn68b")     # b-variant split convs
+
+    def test_dpn92_parity(self):
+        self._compare("dpn92")      # 7x7 stem, bw factor 4

@@ -427,6 +427,82 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone DPN classifiers (the reference zoo's dpn family,
+#    dpn.py:264-312) --
+
+@dataclasses.dataclass(frozen=True)
+class DpnModelSpec:
+    """Static description of a Dual-Path-Network classifier."""
+    name: str
+    variant: str                   # key of dpn.DPNS
+    num_classes: int = 1000
+    img_size: int = 224
+
+    @property
+    def feature_channels(self) -> int:
+        from .dpn import dpn_feature_channels
+        return dpn_feature_channels(self.variant)
+
+
+def _register_dpns():
+    from .dpn import DPNS
+
+    def make_builder(vname):
+        def builder(**kw):
+            kw.setdefault("img_size", 224)
+            return DpnModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in DPNS:
+        register_model(make_builder(vname))
+
+
+_register_dpns()
+
+
+def init_dpn_params(rng: jax.Array, spec: DpnModelSpec) -> Params:
+    from .dpn import init_dpn
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_dpn(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def dpn_forward(params: Params, images: jnp.ndarray,
+                spec: DpnModelSpec, head: bool = False,
+                dtype=jnp.float32) -> jnp.ndarray:
+    """head=False -> post-conv5_bn_ac NHWC feature map; head=True ->
+    global-avg-pool + the reference's 1x1-conv classifier (as a dense)."""
+    from .dpn import apply_dpn
+    x = apply_dpn(params["backbone"], images.astype(dtype), spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_dpn_checkpoint(params: Params, path: str,
+                        spec: DpnModelSpec) -> Params:
+    from .dpn import load_dpn
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_dpn(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        # reference classifier is a 1x1 conv (dpn.py:237-241)
+        w = np.asarray(sd["classifier.weight"])[:, :, 0, 0]
+        out["head"] = {
+            "kernel": jnp.asarray(w.T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["classifier.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- standalone ReXNet classifiers (the reference zoo's rexnet family,
 #    rexnet.py:243-300) --
 
@@ -1245,6 +1321,16 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, DpnModelSpec):
+        params = init_dpn_params(rng if rng is not None
+                                 else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_dpn_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return dpn_forward(params, images, spec, head=head, dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, RexNetModelSpec):
         params = init_rexnet_params(rng if rng is not None
                                     else jax.random.PRNGKey(0), spec)
