@@ -1043,3 +1043,40 @@ class TestDpnParity:
 
     def test_dpn92_parity(self):
         self._compare("dpn92")      # 7x7 stem, bw factor 4
+
+
+@pytest.mark.slow
+class TestInceptionV3Parity:
+    """Golden parity vs the reference's vendored timm inception_v3:
+    mixed A-E blocks, asymmetric 1x7/7x1 convs, count-include-pad avg
+    branches (inception_v3.py:52-436)."""
+
+    def test_inception_v3_parity(self):
+        from reference_harness import install
+        install()
+        import importlib
+        import torch
+        TI = importlib.import_module("timm.models.inception_v3")
+        torch.manual_seed(0)
+        tm = TI.inception_v3(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model("inception_v3", checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, 299, 299, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)

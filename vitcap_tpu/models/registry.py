@@ -427,6 +427,78 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone Inception-V3 classifiers (the reference zoo's
+#    inception_v3.py:440-467: inception_v3 / tf_ / adv_ / gluon_ weight
+#    flavors over one architecture) --
+
+@dataclasses.dataclass(frozen=True)
+class InceptionV3ModelSpec:
+    """Static description of the Inception-V3 classifier."""
+    name: str = "inception_v3"
+    num_classes: int = 1000
+    img_size: int = 299
+
+    @property
+    def feature_channels(self) -> int:
+        from .inception_v3 import INCEPTION_V3_FEATURES
+        return INCEPTION_V3_FEATURES
+
+
+def _register_inception_v3s():
+    from .inception_v3 import INCEPTION_V3_NAMES
+
+    def make_builder(vname):
+        def builder(**kw):
+            return InceptionV3ModelSpec(name=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in INCEPTION_V3_NAMES:
+        register_model(make_builder(vname))
+
+
+_register_inception_v3s()
+
+
+def init_inception_v3_params(rng: jax.Array,
+                             spec: InceptionV3ModelSpec) -> Params:
+    from .inception_v3 import init_inception_v3
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_inception_v3(k_bb)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def inception_v3_forward(params: Params, images: jnp.ndarray,
+                         spec: InceptionV3ModelSpec, head: bool = False,
+                         dtype=jnp.float32) -> jnp.ndarray:
+    from .inception_v3 import apply_inception_v3
+    x = apply_inception_v3(params["backbone"], images.astype(dtype))
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_inception_v3_checkpoint(params: Params, path: str,
+                                 spec: InceptionV3ModelSpec) -> Params:
+    from .inception_v3 import load_inception_v3
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_inception_v3(params["backbone"], sd)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["fc.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["fc.bias"]), jnp.float32),
+        }
+    return out
+
+
 # -- standalone DPN classifiers (the reference zoo's dpn family,
 #    dpn.py:264-312) --
 
@@ -1321,6 +1393,18 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, InceptionV3ModelSpec):
+        params = init_inception_v3_params(rng if rng is not None
+                                          else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_inception_v3_checkpoint(params, checkpoint_path,
+                                                  spec)
+
+        def apply(params, images, head=False):
+            return inception_v3_forward(params, images, spec, head=head,
+                                        dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, DpnModelSpec):
         params = init_dpn_params(rng if rng is not None
                                  else jax.random.PRNGKey(0), spec)
