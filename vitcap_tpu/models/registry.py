@@ -427,6 +427,79 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone CSPNet/DarkNet classifiers (the reference zoo's cspnet
+#    family, cspnet.py:413-454) --
+
+@dataclasses.dataclass(frozen=True)
+class CspNetModelSpec:
+    """Static description of a CSPNet/DarkNet classifier."""
+    name: str
+    variant: str                   # key of cspnet.CSPNETS
+    num_classes: int = 1000
+    img_size: int = 256
+
+    @property
+    def feature_channels(self) -> int:
+        from .cspnet import cspnet_feature_channels
+        return cspnet_feature_channels(self.variant)
+
+
+def _register_cspnets():
+    from .cspnet import CSPNETS
+
+    def make_builder(vname):
+        def builder(**kw):
+            kw.setdefault("img_size", 256)
+            return CspNetModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in CSPNETS:
+        register_model(make_builder(vname))
+
+
+_register_cspnets()
+
+
+def init_cspnet_params(rng: jax.Array, spec: CspNetModelSpec) -> Params:
+    from .cspnet import init_cspnet
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_cspnet(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def cspnet_forward(params: Params, images: jnp.ndarray,
+                   spec: CspNetModelSpec, head: bool = False,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    from .cspnet import apply_cspnet
+    x = apply_cspnet(params["backbone"], images.astype(dtype), spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_cspnet_checkpoint(params: Params, path: str,
+                           spec: CspNetModelSpec) -> Params:
+    from .cspnet import load_cspnet
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_cspnet(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["head.fc.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["head.fc.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- standalone Inception-V3 classifiers (the reference zoo's
 #    inception_v3.py:440-467: inception_v3 / tf_ / adv_ / gluon_ weight
 #    flavors over one architecture) --
@@ -1393,6 +1466,17 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, CspNetModelSpec):
+        params = init_cspnet_params(rng if rng is not None
+                                    else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_cspnet_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return cspnet_forward(params, images, spec, head=head,
+                                  dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, InceptionV3ModelSpec):
         params = init_inception_v3_params(rng if rng is not None
                                           else jax.random.PRNGKey(0), spec)
