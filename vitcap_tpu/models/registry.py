@@ -427,6 +427,78 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone SelecSLS classifiers (the reference zoo's selecsls.py) --
+
+@dataclasses.dataclass(frozen=True)
+class SelecSlsModelSpec:
+    """Static description of a SelecSLS classifier."""
+    name: str
+    variant: str                   # key of selecsls.SELECSLS
+    num_classes: int = 1000
+    img_size: int = 224
+
+    @property
+    def feature_channels(self) -> int:
+        from .selecsls import selecsls_feature_channels
+        return selecsls_feature_channels(self.variant)
+
+
+def _register_selecsls():
+    from .selecsls import SELECSLS
+
+    def make_builder(vname):
+        def builder(**kw):
+            kw.setdefault("img_size", 224)
+            return SelecSlsModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in SELECSLS:
+        register_model(make_builder(vname))
+
+
+_register_selecsls()
+
+
+def init_selecsls_params(rng: jax.Array, spec: SelecSlsModelSpec) -> Params:
+    from .selecsls import init_selecsls
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_selecsls(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def selecsls_forward(params: Params, images: jnp.ndarray,
+                     spec: SelecSlsModelSpec, head: bool = False,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    from .selecsls import apply_selecsls
+    x = apply_selecsls(params["backbone"], images.astype(dtype),
+                       spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_selecsls_checkpoint(params: Params, path: str,
+                             spec: SelecSlsModelSpec) -> Params:
+    from .selecsls import load_selecsls
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_selecsls(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["fc.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["fc.bias"]), jnp.float32),
+        }
+    return out
+
+
 # -- standalone CSPNet/DarkNet classifiers (the reference zoo's cspnet
 #    family, cspnet.py:413-454) --
 
@@ -1466,6 +1538,18 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, SelecSlsModelSpec):
+        params = init_selecsls_params(rng if rng is not None
+                                      else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_selecsls_checkpoint(params, checkpoint_path,
+                                              spec)
+
+        def apply(params, images, head=False):
+            return selecsls_forward(params, images, spec, head=head,
+                                    dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, CspNetModelSpec):
         params = init_cspnet_params(rng if rng is not None
                                     else jax.random.PRNGKey(0), spec)
