@@ -1171,3 +1171,52 @@ class TestSelecSlsParity:
 
     def test_selecsls60_parity(self):
         self._compare("selecsls60")
+
+
+@pytest.mark.slow
+class TestSeNetLegacyParity:
+    """Golden parity vs the reference's vendored timm senet.py (the
+    Cadene layout): SE before residual, Caffe conv1-stride quirk,
+    senet154's wide grouped bottleneck + 3-conv stem (senet.py:70-470)."""
+
+    def _compare(self, name, img=96):
+        from reference_harness import install
+        install()
+        import importlib
+        import torch
+        TS = importlib.import_module("timm.models.senet")
+        torch.manual_seed(0)
+        tm = getattr(TS, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_legacy_seresnet50_parity(self):
+        self._compare("legacy_seresnet50")       # conv1-stride quirk
+
+    def test_legacy_senet154_parity(self):
+        self._compare("legacy_senet154")         # 3x3 stem, groups 64
+
+    def test_legacy_seresnext26_parity(self):
+        self._compare("legacy_seresnext26_32x4d")
+
+    def test_legacy_seresnet18_parity(self):
+        self._compare("legacy_seresnet18")       # basic block

@@ -427,6 +427,79 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone legacy SENet classifiers (the reference zoo's senet.py:
+#    the Cadene-layout senet154 / se-resnet / se-resnext) --
+
+@dataclasses.dataclass(frozen=True)
+class SeNetModelSpec:
+    """Static description of a legacy SENet classifier."""
+    name: str
+    variant: str                   # key of senet.SENETS
+    num_classes: int = 1000
+    img_size: int = 224
+
+    @property
+    def feature_channels(self) -> int:
+        from .senet import senet_feature_channels
+        return senet_feature_channels(self.variant)
+
+
+def _register_senets():
+    from .senet import SENETS
+
+    def make_builder(vname):
+        def builder(**kw):
+            kw.setdefault("img_size", 224)
+            return SeNetModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in SENETS:
+        register_model(make_builder(vname))
+
+
+_register_senets()
+
+
+def init_senet_params(rng: jax.Array, spec: SeNetModelSpec) -> Params:
+    from .senet import init_senet
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_senet(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def senet_forward(params: Params, images: jnp.ndarray,
+                  spec: SeNetModelSpec, head: bool = False,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    from .senet import apply_senet
+    x = apply_senet(params["backbone"], images.astype(dtype), spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_senet_checkpoint(params: Params, path: str,
+                          spec: SeNetModelSpec) -> Params:
+    from .senet import load_senet
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_senet(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["last_linear.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["last_linear.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- standalone SelecSLS classifiers (the reference zoo's selecsls.py) --
 
 @dataclasses.dataclass(frozen=True)
@@ -1538,6 +1611,17 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, SeNetModelSpec):
+        params = init_senet_params(rng if rng is not None
+                                   else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_senet_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return senet_forward(params, images, spec, head=head,
+                                 dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, SelecSlsModelSpec):
         params = init_selecsls_params(rng if rng is not None
                                       else jax.random.PRNGKey(0), spec)
