@@ -427,6 +427,67 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone Inception-V4 classifier (the reference zoo's
+#    inception_v4.py:313-320) --
+
+@dataclasses.dataclass(frozen=True)
+class InceptionV4ModelSpec:
+    """Static description of the Inception-V4 classifier."""
+    name: str = "inception_v4"
+    num_classes: int = 1000
+    img_size: int = 299
+
+    @property
+    def feature_channels(self) -> int:
+        from .inception_v4 import INCEPTION_V4_FEATURES
+        return INCEPTION_V4_FEATURES
+
+
+@register_model
+def inception_v4(**kw):
+    return InceptionV4ModelSpec(**kw)
+
+
+def init_inception_v4_params(rng: jax.Array,
+                             spec: InceptionV4ModelSpec) -> Params:
+    from .inception_v4 import init_inception_v4
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_inception_v4(k_bb)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def inception_v4_forward(params: Params, images: jnp.ndarray,
+                         spec: InceptionV4ModelSpec, head: bool = False,
+                         dtype=jnp.float32) -> jnp.ndarray:
+    from .inception_v4 import apply_inception_v4
+    x = apply_inception_v4(params["backbone"], images.astype(dtype))
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_inception_v4_checkpoint(params: Params, path: str,
+                                 spec: InceptionV4ModelSpec) -> Params:
+    from .inception_v4 import load_inception_v4
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_inception_v4(params["backbone"], sd)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["last_linear.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["last_linear.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- standalone legacy SENet classifiers (the reference zoo's senet.py:
 #    the Cadene-layout senet154 / se-resnet / se-resnext) --
 
@@ -1611,6 +1672,18 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, InceptionV4ModelSpec):
+        params = init_inception_v4_params(rng if rng is not None
+                                          else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_inception_v4_checkpoint(params, checkpoint_path,
+                                                  spec)
+
+        def apply(params, images, head=False):
+            return inception_v4_forward(params, images, spec, head=head,
+                                        dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, SeNetModelSpec):
         params = init_senet_params(rng if rng is not None
                                    else jax.random.PRNGKey(0), spec)
