@@ -1256,3 +1256,39 @@ class TestInceptionV4Parity:
         j_out = m.apply(m.params, jnp.asarray(x), head=True)
         np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
                                    rtol=2e-3, atol=5e-4)
+
+
+@pytest.mark.slow
+class TestInceptionResnetV2Parity:
+    """Golden parity vs the reference's vendored timm inception_resnet_v2
+    (scaled-residual towers, no-relu final block8)."""
+
+    def test_inception_resnet_v2_parity(self):
+        from reference_harness import install
+        install()
+        import importlib
+        import torch
+        TI = importlib.import_module("timm.models.inception_resnet_v2")
+        torch.manual_seed(0)
+        tm = TI.inception_resnet_v2(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model("inception_resnet_v2", checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, 299, 299, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)

@@ -427,6 +427,81 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone Inception-ResNet-V2 classifiers (the reference zoo's
+#    inception_resnet_v2.py:339-356) --
+
+@dataclasses.dataclass(frozen=True)
+class InceptionResnetV2ModelSpec:
+    """Static description of the Inception-ResNet-V2 classifier."""
+    name: str = "inception_resnet_v2"
+    num_classes: int = 1000
+    img_size: int = 299
+
+    @property
+    def feature_channels(self) -> int:
+        from .inception_resnet_v2 import INCEPTION_RESNET_V2_FEATURES
+        return INCEPTION_RESNET_V2_FEATURES
+
+
+def _register_inception_resnet_v2s():
+    from .inception_resnet_v2 import INCEPTION_RESNET_V2_NAMES
+
+    def make_builder(vname):
+        def builder(**kw):
+            return InceptionResnetV2ModelSpec(name=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in INCEPTION_RESNET_V2_NAMES:
+        register_model(make_builder(vname))
+
+
+_register_inception_resnet_v2s()
+
+
+def init_inception_resnet_v2_params(rng: jax.Array,
+                                    spec: InceptionResnetV2ModelSpec
+                                    ) -> Params:
+    from .inception_resnet_v2 import init_inception_resnet_v2
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_inception_resnet_v2(k_bb)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def inception_resnet_v2_forward(params: Params, images: jnp.ndarray,
+                                spec: InceptionResnetV2ModelSpec,
+                                head: bool = False,
+                                dtype=jnp.float32) -> jnp.ndarray:
+    from .inception_resnet_v2 import apply_inception_resnet_v2
+    x = apply_inception_resnet_v2(params["backbone"], images.astype(dtype))
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_inception_resnet_v2_checkpoint(params: Params, path: str,
+                                        spec: InceptionResnetV2ModelSpec
+                                        ) -> Params:
+    from .inception_resnet_v2 import load_inception_resnet_v2
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_inception_resnet_v2(params["backbone"], sd)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["classif.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["classif.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- standalone Inception-V4 classifier (the reference zoo's
 #    inception_v4.py:313-320) --
 
@@ -1672,6 +1747,18 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, InceptionResnetV2ModelSpec):
+        params = init_inception_resnet_v2_params(
+            rng if rng is not None else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_inception_resnet_v2_checkpoint(
+                params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return inception_resnet_v2_forward(params, images, spec,
+                                               head=head, dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, InceptionV4ModelSpec):
         params = init_inception_v4_params(rng if rng is not None
                                           else jax.random.PRNGKey(0), spec)
