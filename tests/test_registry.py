@@ -1292,3 +1292,52 @@ class TestInceptionResnetV2Parity:
         j_out = m.apply(m.params, jnp.asarray(x), head=True)
         np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
                                    rtol=2e-3, atol=5e-4)
+
+
+@pytest.mark.slow
+class TestDlaParity:
+    """Golden parity vs the reference's vendored timm dla family:
+    recursive tree aggregation, root convs with optional residual,
+    basic/bottleneck/bottle2neck blocks (dla.py:51-444)."""
+
+    def _compare(self, name, img=96):
+        from reference_harness import install
+        install()
+        import importlib
+        import torch
+        TD = importlib.import_module("timm.models.dla")
+        torch.manual_seed(0)
+        tm = getattr(TD, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_dla34_parity(self):
+        self._compare("dla34")           # basic blocks
+
+    def test_dla60x_parity(self):
+        self._compare("dla60x")          # grouped bottleneck
+
+    def test_dla102_parity(self):
+        self._compare("dla102")          # residual root, 3/4-level trees
+
+    def test_dla60_res2net_parity(self):
+        self._compare("dla60_res2net")   # bottle2neck

@@ -427,6 +427,78 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone DLA classifiers (the reference zoo's dla.py:344-444) --
+
+@dataclasses.dataclass(frozen=True)
+class DlaModelSpec:
+    """Static description of a Deep-Layer-Aggregation classifier."""
+    name: str
+    variant: str                   # key of dla.DLAS
+    num_classes: int = 1000
+    img_size: int = 224
+
+    @property
+    def feature_channels(self) -> int:
+        from .dla import dla_feature_channels
+        return dla_feature_channels(self.variant)
+
+
+def _register_dlas():
+    from .dla import DLAS
+
+    def make_builder(vname):
+        def builder(**kw):
+            kw.setdefault("img_size", 224)
+            return DlaModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in DLAS:
+        register_model(make_builder(vname))
+
+
+_register_dlas()
+
+
+def init_dla_params(rng: jax.Array, spec: DlaModelSpec) -> Params:
+    from .dla import init_dla
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_dla(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def dla_forward(params: Params, images: jnp.ndarray,
+                spec: DlaModelSpec, head: bool = False,
+                dtype=jnp.float32) -> jnp.ndarray:
+    from .dla import apply_dla
+    x = apply_dla(params["backbone"], images.astype(dtype), spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_dla_checkpoint(params: Params, path: str,
+                        spec: DlaModelSpec) -> Params:
+    from .dla import load_dla
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_dla(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        # reference classifier is a 1x1 conv (dla.py:292-294)
+        w = np.asarray(sd["fc.weight"])[:, :, 0, 0]
+        out["head"] = {
+            "kernel": jnp.asarray(w.T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["fc.bias"]), jnp.float32),
+        }
+    return out
+
+
 # -- standalone Inception-ResNet-V2 classifiers (the reference zoo's
 #    inception_resnet_v2.py:339-356) --
 
@@ -1747,6 +1819,16 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, DlaModelSpec):
+        params = init_dla_params(rng if rng is not None
+                                 else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_dla_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return dla_forward(params, images, spec, head=head, dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, InceptionResnetV2ModelSpec):
         params = init_inception_resnet_v2_params(
             rng if rng is not None else jax.random.PRNGKey(0), spec)
