@@ -1341,3 +1341,42 @@ class TestDlaParity:
 
     def test_dla60_res2net_parity(self):
         self._compare("dla60_res2net")   # bottle2neck
+
+
+@pytest.mark.slow
+class TestT2tVitParity:
+    """Golden parity vs the reference's vendored t2t_vit package
+    (transformer-tokenized variants; the performer variants are broken in
+    the reference — token_performer.py has no forward)."""
+
+    def _compare(self, name):
+        from reference_harness import install
+        install()
+        import importlib
+        import torch
+        TT = importlib.import_module("timm.models.t2t_vit.t2t_vit")
+        torch.manual_seed(0)
+        embed = {"T2t_vit_t_14": 384, "T2t_vit_t_19": 448}[name]
+        # mirror the reference's pretrained qk_scale override, which our
+        # checkpoint loader follows (t2t_vit.py:178-186)
+        tm = getattr(TT, name)(pretrained=False, qk_scale=embed ** -0.5)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name.lower(), checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, 224, 224, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_t2t_vit_t_14_parity(self):
+        self._compare("T2t_vit_t_14")
+
+    def test_t2t_vit_t_19_parity(self):
+        self._compare("T2t_vit_t_19")

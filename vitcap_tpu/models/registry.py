@@ -427,6 +427,92 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone T2T-ViT classifiers (the reference zoo's vendored
+#    t2t_vit package; only the working transformer-tokenized variants,
+#    see models/t2t_vit.py docstring) --
+
+@dataclasses.dataclass(frozen=True)
+class T2tVitModelSpec:
+    """Static description of a T2T-ViT classifier."""
+    name: str
+    variant: str                   # key of t2t_vit.T2T_VITS
+    num_classes: int = 1000
+    img_size: int = 224
+    qk_scale: float = 0.0          # 0 = head_dim**-0.5; checkpoint loads
+                                   # set embed**-0.5 (the reference's
+                                   # pretrained qk_scale hack)
+
+    @property
+    def feature_channels(self) -> int:
+        from .t2t_vit import t2t_feature_dim
+        return t2t_feature_dim(self.variant)
+
+
+def _register_t2t_vits():
+    from .t2t_vit import T2T_VITS
+
+    def make_builder(vname):
+        def builder(**kw):
+            kw.setdefault("img_size", 224)
+            return T2tVitModelSpec(name=vname, variant=vname, **kw)
+        # the reference registers capitalized names (T2t_vit_t_14);
+        # register both spellings
+        return builder
+
+    for vname in T2T_VITS:
+        b = make_builder(vname)
+        b.__name__ = vname
+        register_model(b)
+        b2 = make_builder(vname)
+        b2.__name__ = "T2t" + vname[3:]
+        register_model(b2)
+
+
+_register_t2t_vits()
+
+
+def init_t2t_vit_params(rng: jax.Array, spec: T2tVitModelSpec) -> Params:
+    from .t2t_vit import init_t2t_vit
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_t2t_vit(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def t2t_vit_forward(params: Params, images: jnp.ndarray,
+                    spec: T2tVitModelSpec, head: bool = False,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """head=False -> (B, 1+N, D) post-norm tokens (the output_grid hook,
+    t2t_vit.py:166-168); head=True -> CLS classifier logits."""
+    from .t2t_vit import apply_t2t_vit
+    x = apply_t2t_vit(params["backbone"], images.astype(dtype),
+                      spec.variant, spec.qk_scale)
+    if not head:
+        return x
+    return dense(params["head"], x[:, 0])
+
+
+def load_t2t_vit_checkpoint(params: Params, path: str,
+                            spec: T2tVitModelSpec) -> Params:
+    from .t2t_vit import load_t2t_vit
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_t2t_vit(params["backbone"], sd, spec.variant)}
+    if "head" in params and "head.weight" in sd:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["head.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["head.bias"]), jnp.float32),
+        }
+    elif "head" in params:
+        out["head"] = params["head"]
+    return out
+
+
 # -- standalone DLA classifiers (the reference zoo's dla.py:344-444) --
 
 @dataclasses.dataclass(frozen=True)
@@ -1819,6 +1905,22 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, T2tVitModelSpec):
+        params = init_t2t_vit_params(rng if rng is not None
+                                     else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            # the reference pretrained path overrides the attention scale
+            # to embed_dim**-0.5 (t2t_vit.py qk_scale hack)
+            spec = dataclasses.replace(
+                spec, qk_scale=spec.qk_scale
+                or spec.feature_channels ** -0.5)
+            params = load_t2t_vit_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return t2t_vit_forward(params, images, spec, head=head,
+                                   dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, DlaModelSpec):
         params = init_dla_params(rng if rng is not None
                                  else jax.random.PRNGKey(0), spec)
