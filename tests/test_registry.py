@@ -1380,3 +1380,39 @@ class TestT2tVitParity:
 
     def test_t2t_vit_t_19_parity(self):
         self._compare("T2t_vit_t_19")
+
+
+@pytest.mark.slow
+class TestGluonXceptionParity:
+    """Golden parity vs the reference's vendored timm gluon_xception
+    (bn between dw/pw convs, stride on the third rep conv)."""
+
+    def test_gluon_xception65_parity(self):
+        from reference_harness import install
+        install()
+        import importlib
+        import torch
+        TG = importlib.import_module("timm.models.gluon_xception")
+        torch.manual_seed(0)
+        tm = TG.gluon_xception65(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model("gluon_xception65", checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, 128, 128, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)

@@ -427,6 +427,67 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone Gluon Xception-65 classifier (the reference zoo's
+#    gluon_xception.py:255-262) --
+
+@dataclasses.dataclass(frozen=True)
+class GluonXceptionModelSpec:
+    """Static description of the aligned Xception-65 classifier."""
+    name: str = "gluon_xception65"
+    num_classes: int = 1000
+    img_size: int = 299
+
+    @property
+    def feature_channels(self) -> int:
+        from .gluon_xception import GLUON_XCEPTION_FEATURES
+        return GLUON_XCEPTION_FEATURES
+
+
+@register_model
+def gluon_xception65(**kw):
+    return GluonXceptionModelSpec(**kw)
+
+
+def init_gluon_xception_params(rng: jax.Array,
+                               spec: GluonXceptionModelSpec) -> Params:
+    from .gluon_xception import init_gluon_xception
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_gluon_xception(k_bb)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def gluon_xception_forward(params: Params, images: jnp.ndarray,
+                           spec: GluonXceptionModelSpec,
+                           head: bool = False,
+                           dtype=jnp.float32) -> jnp.ndarray:
+    from .gluon_xception import apply_gluon_xception
+    x = apply_gluon_xception(params["backbone"], images.astype(dtype))
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_gluon_xception_checkpoint(params: Params, path: str,
+                                   spec: GluonXceptionModelSpec) -> Params:
+    from .gluon_xception import load_gluon_xception
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_gluon_xception(params["backbone"], sd)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["fc.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["fc.bias"]), jnp.float32),
+        }
+    return out
+
+
 # -- standalone T2T-ViT classifiers (the reference zoo's vendored
 #    t2t_vit package; only the working transformer-tokenized variants,
 #    see models/t2t_vit.py docstring) --
@@ -1905,6 +1966,18 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, GluonXceptionModelSpec):
+        params = init_gluon_xception_params(
+            rng if rng is not None else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_gluon_xception_checkpoint(params,
+                                                    checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return gluon_xception_forward(params, images, spec, head=head,
+                                          dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, T2tVitModelSpec):
         params = init_t2t_vit_params(rng if rng is not None
                                      else jax.random.PRNGKey(0), spec)
