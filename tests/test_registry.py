@@ -1416,3 +1416,45 @@ class TestGluonXceptionParity:
         j_out = m.apply(m.params, jnp.asarray(x), head=True)
         np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
                                    rtol=2e-3, atol=5e-4)
+
+
+@pytest.mark.slow
+class TestXceptionAlignedParity:
+    """Golden parity vs the reference's vendored timm xception_aligned
+    (per-conv dual bns, internal-act final module)."""
+
+    def _compare(self, name, img=128):
+        from reference_harness import install
+        install()
+        import importlib
+        import torch
+        TX = importlib.import_module("timm.models.xception_aligned")
+        torch.manual_seed(0)
+        tm = getattr(TX, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_xception41_parity(self):
+        self._compare("xception41")
+
+    def test_xception71_parity(self):
+        self._compare("xception71")   # extra entry modules

@@ -427,6 +427,82 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone aligned Xception 41/65/71 classifiers (the reference
+#    zoo's xception_aligned.py:185-240) --
+
+@dataclasses.dataclass(frozen=True)
+class XcepAlignedModelSpec:
+    """Static description of an aligned Xception classifier."""
+    name: str
+    variant: str
+    num_classes: int = 1000
+    img_size: int = 299
+
+    @property
+    def feature_channels(self) -> int:
+        from .xception_aligned import XCEPTION_ALIGNED_FEATURES
+        return XCEPTION_ALIGNED_FEATURES
+
+
+def _register_xception_aligned():
+    from .xception_aligned import XCEPTION_ALIGNED
+
+    def make_builder(vname):
+        def builder(**kw):
+            return XcepAlignedModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in XCEPTION_ALIGNED:
+        register_model(make_builder(vname))
+
+
+_register_xception_aligned()
+
+
+def init_xception_aligned_params(rng: jax.Array,
+                                 spec: XcepAlignedModelSpec) -> Params:
+    from .xception_aligned import init_xception_aligned
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_xception_aligned(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def xception_aligned_forward(params: Params, images: jnp.ndarray,
+                             spec: XcepAlignedModelSpec,
+                             head: bool = False,
+                             dtype=jnp.float32) -> jnp.ndarray:
+    from .xception_aligned import apply_xception_aligned
+    x = apply_xception_aligned(params["backbone"], images.astype(dtype),
+                               spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_xception_aligned_checkpoint(params: Params, path: str,
+                                     spec: XcepAlignedModelSpec) -> Params:
+    from .xception_aligned import load_xception_aligned
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_xception_aligned(params["backbone"], sd,
+                                             spec.variant)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["head.fc.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["head.fc.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- standalone Gluon Xception-65 classifier (the reference zoo's
 #    gluon_xception.py:255-262) --
 
@@ -1966,6 +2042,18 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, XcepAlignedModelSpec):
+        params = init_xception_aligned_params(
+            rng if rng is not None else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_xception_aligned_checkpoint(params,
+                                                      checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return xception_aligned_forward(params, images, spec,
+                                            head=head, dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, GluonXceptionModelSpec):
         params = init_gluon_xception_params(
             rng if rng is not None else jax.random.PRNGKey(0), spec)
