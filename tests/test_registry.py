@@ -1458,3 +1458,45 @@ class TestXceptionAlignedParity:
 
     def test_xception71_parity(self):
         self._compare("xception71")   # extra entry modules
+
+
+@pytest.mark.slow
+class TestNfNetParity:
+    """Golden parity vs the reference's vendored timm nfnet family:
+    scaled weight-standardized convs with learned gain, variance-schedule
+    betas, attn gain (nfnet.py:61-472)."""
+
+    def _compare(self, name, img=96):
+        from reference_harness import install
+        install()
+        import importlib
+        import torch
+        TN = importlib.import_module("timm.models.nfnet")
+        torch.manual_seed(0)
+        tm = getattr(TN, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=1e-3)
+
+    def test_nf_regnet_b0_parity(self):
+        self._compare("nf_regnet_b0")    # silu, grouped, SE rr .5, final conv
+
+    def test_nf_resnet50_parity(self):
+        self._compare("nf_resnet50")     # relu, 7x7+pool stem, no attn
+
+    def test_nf_seresnet26_parity(self):
+        self._compare("nf_seresnet26")   # SE rr .25
+
+    def test_nf_ecaresnet26_parity(self):
+        self._compare("nf_ecaresnet26")  # ECA attn

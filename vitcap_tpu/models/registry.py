@@ -427,6 +427,79 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone Normalizer-Free nets (the reference zoo's
+#    nfnet.py:400-472: nf_regnet_b* / nf_resnet* / nf_(se|eca)resnet*) --
+
+@dataclasses.dataclass(frozen=True)
+class NfNetModelSpec:
+    """Static description of a Normalizer-Free classifier."""
+    name: str
+    variant: str                   # key of nfnet.NFNETS
+    num_classes: int = 1000
+    img_size: int = 224
+
+    @property
+    def feature_channels(self) -> int:
+        from .nfnet import nfnet_feature_channels
+        return nfnet_feature_channels(self.variant)
+
+
+def _register_nfnets():
+    from .nfnet import NFNETS
+
+    def make_builder(vname):
+        def builder(**kw):
+            kw.setdefault("img_size", 224)
+            return NfNetModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in NFNETS:
+        register_model(make_builder(vname))
+
+
+_register_nfnets()
+
+
+def init_nfnet_params(rng: jax.Array, spec: NfNetModelSpec) -> Params:
+    from .nfnet import init_nfnet
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_nfnet(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def nfnet_forward(params: Params, images: jnp.ndarray,
+                  spec: NfNetModelSpec, head: bool = False,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    from .nfnet import apply_nfnet
+    x = apply_nfnet(params["backbone"], images.astype(dtype), spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_nfnet_checkpoint(params: Params, path: str,
+                          spec: NfNetModelSpec) -> Params:
+    from .nfnet import load_nfnet
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_nfnet(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["head.fc.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["head.fc.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- standalone aligned Xception 41/65/71 classifiers (the reference
 #    zoo's xception_aligned.py:185-240) --
 
@@ -2042,6 +2115,17 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, NfNetModelSpec):
+        params = init_nfnet_params(rng if rng is not None
+                                   else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_nfnet_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return nfnet_forward(params, images, spec, head=head,
+                                 dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, XcepAlignedModelSpec):
         params = init_xception_aligned_params(
             rng if rng is not None else jax.random.PRNGKey(0), spec)
