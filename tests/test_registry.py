@@ -1500,3 +1500,49 @@ class TestNfNetParity:
 
     def test_nf_ecaresnet26_parity(self):
         self._compare("nf_ecaresnet26")  # ECA attn
+
+
+@pytest.mark.slow
+class TestHrNetParity:
+    """Golden parity vs the reference's vendored timm hrnet family:
+    multi-resolution branches, fuse mesh with nearest upsampling,
+    incre/downsample classification head (hrnet.py:388-831)."""
+
+    def _compare(self, name, img=64):
+        from reference_harness import install
+        install()
+        import importlib
+        import torch
+        TH = importlib.import_module("timm.models.hrnet")
+        torch.manual_seed(0)
+        tm = getattr(TH, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_hrnet_w18_small_parity(self):
+        self._compare("hrnet_w18_small")      # 1-module stages
+
+    def test_hrnet_w18_small_v2_parity(self):
+        self._compare("hrnet_w18_small_v2")   # multi-module stages
+
+    def test_hrnet_w18_parity(self):
+        self._compare("hrnet_w18")            # 4-block branches

@@ -427,6 +427,78 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone HRNet classifiers (the reference zoo's hrnet.py:768-831) --
+
+@dataclasses.dataclass(frozen=True)
+class HrNetModelSpec:
+    """Static description of an HRNet classifier."""
+    name: str
+    variant: str                   # key of hrnet.HRNETS
+    num_classes: int = 1000
+    img_size: int = 224
+
+    @property
+    def feature_channels(self) -> int:
+        from .hrnet import HRNET_FEATURES
+        return HRNET_FEATURES
+
+
+def _register_hrnets():
+    from .hrnet import HRNETS
+
+    def make_builder(vname):
+        def builder(**kw):
+            kw.setdefault("img_size", 224)
+            return HrNetModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in HRNETS:
+        register_model(make_builder(vname))
+
+
+_register_hrnets()
+
+
+def init_hrnet_params(rng: jax.Array, spec: HrNetModelSpec) -> Params:
+    from .hrnet import init_hrnet
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_hrnet(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def hrnet_forward(params: Params, images: jnp.ndarray,
+                  spec: HrNetModelSpec, head: bool = False,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    from .hrnet import apply_hrnet
+    x = apply_hrnet(params["backbone"], images.astype(dtype), spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_hrnet_checkpoint(params: Params, path: str,
+                          spec: HrNetModelSpec) -> Params:
+    from .hrnet import load_hrnet
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_hrnet(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["classifier.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["classifier.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- standalone Normalizer-Free nets (the reference zoo's
 #    nfnet.py:400-472: nf_regnet_b* / nf_resnet* / nf_(se|eca)resnet*) --
 
@@ -2115,6 +2187,17 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, HrNetModelSpec):
+        params = init_hrnet_params(rng if rng is not None
+                                   else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_hrnet_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return hrnet_forward(params, images, spec, head=head,
+                                 dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, NfNetModelSpec):
         params = init_nfnet_params(rng if rng is not None
                                    else jax.random.PRNGKey(0), spec)
