@@ -1546,3 +1546,58 @@ class TestHrNetParity:
 
     def test_hrnet_w18_parity(self):
         self._compare("hrnet_w18")            # 4-block branches
+
+
+@pytest.mark.slow
+class TestGenericEffNetParity:
+    """Golden parity vs the other non-tf efficientnet.py families:
+    mnasnet / semnasnet / mobilenet-v2 / fbnet-c / spnasnet (reference
+    efficientnet.py:818-998), sharing the DS/IR builder."""
+
+    def _compare(self, name, img=96):
+        from reference_harness import install
+        install()
+        import importlib
+        import torch
+        TE = importlib.import_module("timm.models.efficientnet")
+        torch.manual_seed(0)
+        tm = getattr(TE, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_mnasnet_100_parity(self):
+        self._compare("mnasnet_100")        # relu, noskip ds
+
+    def test_semnasnet_075_parity(self):
+        self._compare("semnasnet_075")      # SE, cm .75
+
+    def test_mobilenetv2_120d_parity(self):
+        self._compare("mobilenetv2_120d")   # relu6, fixed stem/head, dm
+
+    def test_fbnetc_100_parity(self):
+        self._compare("fbnetc_100")         # multi-entry rows, e1 IR
+
+    def test_spnasnet_100_parity(self):
+        self._compare("spnasnet_100")
+
+    def test_mnasnet_small_parity(self):
+        self._compare("mnasnet_small")      # stem 8, ds residual

@@ -369,7 +369,7 @@ class EffNetModelSpec:
 
 
 def _register_efficientnets():
-    from .efficientnet import EFFICIENTNETS
+    from .efficientnet import EFFICIENTNETS, GENERIC_EFFNETS
 
     def make_builder(vname, img):
         def builder(**kw):
@@ -380,6 +380,8 @@ def _register_efficientnets():
 
     for vname, (_, _, img, _) in EFFICIENTNETS.items():
         register_model(make_builder(vname, img))
+    for vname in GENERIC_EFFNETS:
+        register_model(make_builder(vname, 224))
 
 
 _register_efficientnets()
