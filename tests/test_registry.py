@@ -1643,3 +1643,49 @@ class TestEdgeEffNetParity:
 
     def test_efficientnet_el_parity(self):
         self._compare("efficientnet_el")   # cm 1.2 / dm 1.4
+
+
+@pytest.mark.slow
+class TestMixNetParity:
+    """Golden parity vs the reference's vendored timm mixnet variants
+    (mixed-kernel dw convs, split 1x1s, per-block relu/swish,
+    efficientnet.py:1497-1696)."""
+
+    def _compare(self, name, img=96):
+        from reference_harness import install
+        install()
+        import importlib
+        import torch
+        TE = importlib.import_module("timm.models.efficientnet")
+        torch.manual_seed(0)
+        tm = getattr(TE, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_mixnet_s_parity(self):
+        self._compare("mixnet_s")
+
+    def test_mixnet_m_parity(self):
+        self._compare("mixnet_m")
+
+    def test_mixnet_xl_parity(self):
+        self._compare("mixnet_xl")   # cm 1.6 dm 1.2, round trunc

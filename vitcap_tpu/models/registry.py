@@ -429,6 +429,79 @@ def load_effnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone MixNet classifiers (the reference zoo's
+#    efficientnet.py:1649-1696 mixnet_s/m/l/xl) --
+
+@dataclasses.dataclass(frozen=True)
+class MixNetModelSpec:
+    """Static description of a MixNet classifier."""
+    name: str
+    variant: str                   # key of mixnet.MIXNETS
+    num_classes: int = 1000
+    img_size: int = 224
+
+    @property
+    def feature_channels(self) -> int:
+        from .mixnet import mixnet_feature_channels
+        return mixnet_feature_channels(self.variant)
+
+
+def _register_mixnets():
+    from .mixnet import MIXNETS
+
+    def make_builder(vname):
+        def builder(**kw):
+            kw.setdefault("img_size", 224)
+            return MixNetModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in MIXNETS:
+        register_model(make_builder(vname))
+
+
+_register_mixnets()
+
+
+def init_mixnet_params(rng: jax.Array, spec: MixNetModelSpec) -> Params:
+    from .mixnet import init_mixnet
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_mixnet(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def mixnet_forward(params: Params, images: jnp.ndarray,
+                   spec: MixNetModelSpec, head: bool = False,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    from .mixnet import apply_mixnet
+    x = apply_mixnet(params["backbone"], images.astype(dtype), spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_mixnet_checkpoint(params: Params, path: str,
+                           spec: MixNetModelSpec) -> Params:
+    from .mixnet import load_mixnet
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_mixnet(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["classifier.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["classifier.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- standalone HRNet classifiers (the reference zoo's hrnet.py:768-831) --
 
 @dataclasses.dataclass(frozen=True)
@@ -2189,6 +2262,17 @@ def create_model(name: str, pretrained: bool = False,
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
+    if isinstance(spec, MixNetModelSpec):
+        params = init_mixnet_params(rng if rng is not None
+                                    else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_mixnet_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return mixnet_forward(params, images, spec, head=head,
+                                  dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, HrNetModelSpec):
         params = init_hrnet_params(rng if rng is not None
                                    else jax.random.PRNGKey(0), spec)
