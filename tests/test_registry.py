@@ -488,6 +488,28 @@ class TestResNetParity:
     def test_gluon_seresnext_parity(self):
         self._compare("gluon_seresnext50_32x4d", module="gluon_resnet")
 
+    def test_wide_resnet50_parity(self):
+        self._compare("wide_resnet50_2")    # base_width 128
+
+    def test_ecaresnet50d_parity(self):
+        self._compare("ecaresnet50d")       # ECA attn + deep/avg
+
+    def test_ecaresnet18_parity(self):
+        self._compare("ecaresnet18")        # ECA on basic blocks
+
+    def test_ecaresnetlight_parity(self):
+        self._compare("ecaresnetlight")     # 7x7 stem + avg-down, 1-1-11-3
+
+    def test_resnetblur50_parity(self):
+        self._compare("resnetblur50")       # BlurPool stem + blocks
+
+    def test_seresnext26tn_parity(self):
+        self._compare("seresnext26tn_32x4d", img=160)  # tiered-narrow stem
+
+    def test_senet154_parity(self):
+        # reduce_first=2, 3x3 downsample convs, deep-64 stem, card 64
+        self._compare("senet154", img=160)
+
 
 class TestEfficientNets:
     def test_names_and_shapes(self):

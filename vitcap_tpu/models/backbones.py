@@ -83,6 +83,21 @@ def _pad1(x):
     return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
+# BlurPool2d (reference layers/blur_pool.py:19-59): reflect-pad 1, fixed
+# [1,2,1]/4 binomial filter outer-product, depthwise stride-2 conv.
+_BLUR_FILT = np.outer((0.25, 0.5, 0.25), (0.25, 0.5, 0.25))
+
+
+def _blur_pool(x, stride=2):
+    c = x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    w = jnp.broadcast_to(jnp.asarray(_BLUR_FILT, x.dtype)[:, :, None, None],
+                         (3, 3, 1, c))
+    return jax.lax.conv_general_dilated(
+        xp, w, (stride, stride), "VALID", feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 # ---------------------------------------------------------------------------
 # init helpers
 # ---------------------------------------------------------------------------
@@ -234,6 +249,96 @@ RESNETS = {
                          dict(bw=14, scale=8)),
     "res2next50": ((3, 4, 6, 3), "res2", "7x7", "conv",
                    dict(card=8, bw=4, scale=4)),
+    # torchvision / ssl / swsl / ig re-registrations (resnet.py:795-1069):
+    # identical graphs, distinct pretrained-weight identities
+    "tv_resnet34": ((3, 4, 6, 3), "basic", "7x7", "conv"),
+    "tv_resnet50": ((3, 4, 6, 3), "bottleneck", "7x7", "conv"),
+    "tv_resnet101": ((3, 4, 23, 3), "bottleneck", "7x7", "conv"),
+    "tv_resnet152": ((3, 8, 36, 3), "bottleneck", "7x7", "conv"),
+    "tv_resnext50_32x4d": ((3, 4, 6, 3), "bottleneck", "7x7", "conv",
+                           dict(card=32, bw=4)),
+    "ssl_resnet18": ((2, 2, 2, 2), "basic", "7x7", "conv"),
+    "ssl_resnet50": ((3, 4, 6, 3), "bottleneck", "7x7", "conv"),
+    "ssl_resnext50_32x4d": ((3, 4, 6, 3), "bottleneck", "7x7", "conv",
+                            dict(card=32, bw=4)),
+    "ssl_resnext101_32x4d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                             dict(card=32, bw=4)),
+    "ssl_resnext101_32x8d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                             dict(card=32, bw=8)),
+    "ssl_resnext101_32x16d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                              dict(card=32, bw=16)),
+    "swsl_resnet18": ((2, 2, 2, 2), "basic", "7x7", "conv"),
+    "swsl_resnet50": ((3, 4, 6, 3), "bottleneck", "7x7", "conv"),
+    "swsl_resnext50_32x4d": ((3, 4, 6, 3), "bottleneck", "7x7", "conv",
+                             dict(card=32, bw=4)),
+    "swsl_resnext101_32x4d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                              dict(card=32, bw=4)),
+    "swsl_resnext101_32x8d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                              dict(card=32, bw=8)),
+    "swsl_resnext101_32x16d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                               dict(card=32, bw=16)),
+    "ig_resnext101_32x8d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                            dict(card=32, bw=8)),
+    "ig_resnext101_32x16d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                             dict(card=32, bw=16)),
+    "ig_resnext101_32x32d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                             dict(card=32, bw=32)),
+    "ig_resnext101_32x48d": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                             dict(card=32, bw=48)),
+    # wide resnets: 2x bottleneck width (resnet.py:828-847)
+    "wide_resnet50_2": ((3, 4, 6, 3), "bottleneck", "7x7", "conv",
+                        dict(bw=128)),
+    "wide_resnet101_2": ((3, 4, 23, 3), "bottleneck", "7x7", "conv",
+                         dict(bw=128)),
+    # 320x320 default-cfg duplicates of the -d models (resnet.py:736-792)
+    "resnet101d_320": ((3, 4, 23, 3), "bottleneck", "deep", "avg"),
+    "resnet152d_320": ((3, 8, 36, 3), "bottleneck", "deep", "avg"),
+    "resnet200d_320": ((3, 24, 36, 3), "bottleneck", "deep", "avg"),
+    # deep SE models + tiered stems (resnet.py:1187-1306): 't' stem is
+    # (24, 48, 64), 'tn' is (24, 32, 64) (resnet.py:566-571)
+    "seresnet200d": ((3, 24, 36, 3), "bottleneck", "deep", "avg",
+                     dict(se=True)),
+    "seresnet269d": ((3, 30, 48, 8), "bottleneck", "deep", "avg",
+                     dict(se=True)),
+    "seresnet50tn": ((3, 4, 6, 3), "bottleneck", "tiered_narrow", "avg",
+                     dict(se=True)),
+    "seresnext26_32x4d": ((2, 2, 2, 2), "bottleneck", "7x7", "conv",
+                          dict(card=32, bw=4, se=True)),
+    "seresnext26t_32x4d": ((2, 2, 2, 2), "bottleneck", "tiered", "avg",
+                           dict(card=32, bw=4, se=True)),
+    "seresnext26tn_32x4d": ((2, 2, 2, 2), "bottleneck", "tiered_narrow",
+                            "avg", dict(card=32, bw=4, se=True)),
+    # ECA-attention resnets (resnet.py:1071-1168; layers/eca.py:44-69:
+    # adaptive 1d-conv kernel over the channel-pooled vector)
+    "ecaresnet18": ((2, 2, 2, 2), "basic", "7x7", "conv",
+                    dict(attn="eca")),
+    "ecaresnet50": ((3, 4, 6, 3), "bottleneck", "7x7", "conv",
+                    dict(attn="eca")),
+    "ecaresnet50d": ((3, 4, 6, 3), "bottleneck", "deep", "avg",
+                     dict(attn="eca")),
+    # 'light': 7x7 stem + avg-down, layers (1, 1, 11, 3) (resnet.py:1108)
+    "ecaresnetlight": ((1, 1, 11, 3), "bottleneck", "7x7", "avg",
+                       dict(attn="eca")),
+    "ecaresnet101d": ((3, 4, 23, 3), "bottleneck", "deep", "avg",
+                      dict(attn="eca")),
+    "ecaresnet200d": ((3, 24, 36, 3), "bottleneck", "deep", "avg",
+                      dict(attn="eca")),
+    "ecaresnet269d": ((3, 30, 48, 8), "bottleneck", "deep", "avg",
+                      dict(attn="eca")),
+    "ecaresnext26tn_32x4d": ((2, 2, 2, 2), "bottleneck", "tiered_narrow",
+                             "avg", dict(card=32, bw=4, attn="eca")),
+    # anti-aliased (BlurPool) resnets (resnet.py:1171-1184)
+    "resnetblur18": ((2, 2, 2, 2), "basic", "7x7", "conv",
+                     dict(blur=True)),
+    "resnetblur50": ((3, 4, 6, 3), "bottleneck", "7x7", "conv",
+                     dict(blur=True)),
+    # SENet-154 in the modern ResNet shell (resnet.py:1330-1334 /
+    # gluon_resnet.py:239-245): deep-64 stem, cardinality 64, first
+    # bottleneck conv halved (reduce_first=2), 3x3 downsample convs
+    "senet154": ((3, 8, 36, 3), "bottleneck", "deep64", "conv",
+                 dict(card=64, bw=4, se=True, rf=2, down_k=3)),
+    "gluon_senet154": ((3, 8, 36, 3), "bottleneck", "deep64", "conv",
+                       dict(card=64, bw=4, se=True, rf=2, down_k=3)),
 }
 
 # gluon model-zoo re-parameterizations of the same ResNet shell
@@ -270,13 +375,25 @@ RESNETS.update({
 _PLANES = (64, 128, 256, 512)
 
 
-def _resnet_cfg(variant: str):
-    """(layers, block, stem, down, cardinality, base_width, se, scale)."""
+# deep-stem per-conv output channels (resnet.py:563-578): 'deep' uses
+# stem_width 32, 's'/'senet' 64; tiered stems narrow the first two convs
+_STEM_CHS = {
+    "deep": (32, 32, 64),
+    "deep64": (64, 64, 128),
+    "tiered": (24, 48, 64),
+    "tiered_narrow": (24, 32, 64),
+}
+
+
+def _resnet_cfg(variant: str) -> Dict[str, Any]:
     cfg = RESNETS[variant]
     extras = cfg[4] if len(cfg) > 4 else {}
-    return (cfg[0], cfg[1], cfg[2], cfg[3], extras.get("card", 1),
-            extras.get("bw", 64), extras.get("se", False),
-            extras.get("scale", 4))
+    attn = extras.get("attn", "se" if extras.get("se") else None)
+    return dict(layers=cfg[0], block=cfg[1], stem=cfg[2], down=cfg[3],
+                card=extras.get("card", 1), bw=extras.get("bw", 64),
+                attn=attn, scale=extras.get("scale", 4),
+                rf=extras.get("rf", 1), down_k=extras.get("down_k", 1),
+                blur=extras.get("blur", False))
 
 
 def resnet_feature_channels(variant: str, n_stages: int = 4) -> int:
@@ -307,24 +424,66 @@ def _se_apply(x, p):
     return x * jax.nn.sigmoid(s)[:, None, None, :]
 
 
+def _eca_kernel_size(channels: int) -> int:
+    """Adaptive ECA 1d-conv kernel (layers/eca.py:57-59, gamma=2 beta=1)."""
+    import math
+    t = int(abs(math.log(channels, 2) + 1) / 2)
+    return max(t if t % 2 else t + 1, 3)
+
+
+def _eca_p(rng, channels: int) -> Params:
+    k = _eca_kernel_size(channels)
+    bound = 1.0 / np.sqrt(k)   # torch Conv1d default kaiming-uniform
+    return {"conv": jax.random.uniform(rng, (k,), jnp.float32,
+                                       -bound, bound)}
+
+
+def _eca_apply(x, p):
+    """ECA: zero-padded 1d conv over the channel-pooled vector, sigmoid
+    gate (layers/eca.py:64-69)."""
+    w = p["conv"]
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    y = jnp.mean(x, axis=(1, 2))                      # (B, C)
+    yp = jnp.pad(y, ((0, 0), (pad, pad)))
+    c = y.shape[1]
+    out = sum(w[j] * yp[:, j:j + c] for j in range(k))
+    return x * jax.nn.sigmoid(out)[:, None, None, :]
+
+
+def _attn_p(rng, attn, channels):
+    if attn == "se":
+        return _se_resnet_p(rng, channels)
+    return _eca_p(rng, channels)
+
+
+def _attn_apply(x, blk, attn):
+    if "se" in blk:
+        return _se_apply(x, blk["se"]) if attn == "se" \
+            else _eca_apply(x, blk["se"])
+    return x
+
+
 def init_resnet(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
-    layers, block, stem, _, card, bw, se, scale = _resnet_cfg(variant)
-    ks = iter(jax.random.split(rng, 512))
-    if stem in ("deep", "deep64"):
-        sw = 64 if stem == "deep64" else 32
+    cfg = _resnet_cfg(variant)
+    block, card, bw, rf = cfg["block"], cfg["card"], cfg["bw"], cfg["rf"]
+    scale = cfg["scale"]
+    ks = iter(jax.random.split(rng, 1024))
+    if cfg["stem"] in _STEM_CHS:
+        c1, c2, c3 = _STEM_CHS[cfg["stem"]]
         stem_p = {
-            "conv1": _kaiming(next(ks), (3, 3, 3, sw)), "bn1": _bn_p(sw),
-            "conv2": _kaiming(next(ks), (3, 3, sw, sw)), "bn2": _bn_p(sw),
-            "conv3": _kaiming(next(ks), (3, 3, sw, 2 * sw)),
-            "bn3": _bn_p(2 * sw),
+            "conv1": _kaiming(next(ks), (3, 3, 3, c1)), "bn1": _bn_p(c1),
+            "conv2": _kaiming(next(ks), (3, 3, c1, c2)), "bn2": _bn_p(c2),
+            "conv3": _kaiming(next(ks), (3, 3, c2, c3)),
+            "bn3": _bn_p(c3),
         }
-        prev = 2 * sw
+        prev = c3
     else:
         stem_p = {"conv1": _kaiming(next(ks), (7, 7, 3, 64)),
                   "bn1": _bn_p(64)}
         prev = 64
     p: Params = {"stem": stem_p, "stages": []}
-    for si, depth in enumerate(layers[:n_stages]):
+    for si, depth in enumerate(cfg["layers"][:n_stages]):
         planes = _PLANES[si]
         mid = int(planes * bw / 64) * card
         out = planes * (1 if block == "basic" else 4)
@@ -342,26 +501,31 @@ def init_resnet(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
                     "bn3": _bn_p(out),
                 }
             elif block == "bottleneck":
+                first = mid // rf
                 blk = {
-                    "conv1": _kaiming(next(ks), (1, 1, prev, mid)),
-                    "bn1": _bn_p(mid),
-                    "conv2": _kaiming(next(ks), (3, 3, mid // card, mid)),
+                    "conv1": _kaiming(next(ks), (1, 1, prev, first)),
+                    "bn1": _bn_p(first),
+                    "conv2": _kaiming(next(ks), (3, 3, first // card, mid)),
                     "bn2": _bn_p(mid),
                     "conv3": _kaiming(next(ks), (1, 1, mid, out)),
                     "bn3": _bn_p(out),
                 }
             else:
+                first = mid // rf
                 blk = {
-                    "conv1": _kaiming(next(ks), (3, 3, prev, mid)),
-                    "bn1": _bn_p(mid),
-                    "conv2": _kaiming(next(ks), (3, 3, mid, out)),
+                    "conv1": _kaiming(next(ks), (3, 3, prev, first)),
+                    "bn1": _bn_p(first),
+                    "conv2": _kaiming(next(ks), (3, 3, first, out)),
                     "bn2": _bn_p(out),
                 }
-            if se:
-                blk["se"] = _se_resnet_p(next(ks), out)
+            if cfg["attn"]:
+                blk["se"] = _attn_p(next(ks), cfg["attn"], out)
             s = (1 if si == 0 else 2) if b == 0 else 1
             if b == 0 and (s != 1 or prev != out):
-                blk["down_conv"] = _kaiming(next(ks), (1, 1, prev, out))
+                # down_kernel_size (senets: 3x3, but still 1x1 when the
+                # stage is stride-1 — make_blocks/downsample_conv quirk)
+                dk = 1 if s == 1 else cfg["down_k"]
+                blk["down_conv"] = _kaiming(next(ks), (dk, dk, prev, out))
                 blk["down_bn"] = _bn_p(out)
             blocks.append(blk)
             prev = out
@@ -372,8 +536,11 @@ def init_resnet(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
 def apply_resnet(p: Params, images: jnp.ndarray,
                  variant: str) -> jnp.ndarray:
     """(B, H, W, 3) -> (B, H/2^(1+n_stages), W/..., C) feature map."""
-    _, block, stem, down, card, _, _, scale = _resnet_cfg(variant)
-    if stem in ("deep", "deep64"):
+    cfg = _resnet_cfg(variant)
+    block, down = cfg["block"], cfg["down"]
+    card, scale, attn, blur = (cfg["card"], cfg["scale"], cfg["attn"],
+                               cfg["blur"])
+    if cfg["stem"] in _STEM_CHS:
         x = _batch_norm(_conv(_pad1(images), p["stem"]["conv1"], 2, "VALID"),
                         p["stem"]["bn1"])
         x = _batch_norm(_conv(_pad1(x), p["stem"]["conv2"], 1, "VALID"),
@@ -385,7 +552,11 @@ def apply_resnet(p: Params, images: jnp.ndarray,
         x = jnp.pad(images, ((0, 0), (3, 3), (3, 3), (0, 0)))
         x = _batch_norm(_conv(x, p["stem"]["conv1"], 2, "VALID"),
                         p["stem"]["bn1"])
-    x = _max_pool(_pad1(x), 3, 2, "VALID")
+    if blur:
+        # aa stem pooling: stride-1 maxpool + BlurPool/2 (resnet.py:586-589)
+        x = _blur_pool(_max_pool(_pad1(x), 3, 1, "VALID"), 2)
+    else:
+        x = _max_pool(_pad1(x), 3, 2, "VALID")
     for si, blocks in enumerate(p["stages"]):
         stride = 1 if si == 0 else 2
         for bi, blk in enumerate(blocks):
@@ -395,6 +566,9 @@ def apply_resnet(p: Params, images: jnp.ndarray,
                 if down == "avg":
                     d = _avg_pool2(x) if s == 2 else x
                     d = _conv(d, blk["down_conv"], 1)
+                elif blk["down_conv"].shape[0] == 3:
+                    # senet 3x3 downsample, torch-symmetric pad 1
+                    d = _conv(_pad1(x), blk["down_conv"], s, "VALID")
                 else:
                     d = _conv(x, blk["down_conv"], s)
                 shortcut = _batch_norm(d, blk["down_bn"], act=False)
@@ -428,20 +602,29 @@ def apply_resnet(p: Params, images: jnp.ndarray,
                 y = _batch_norm(_conv(y, blk["conv3"], 1), blk["bn3"],
                                 act=False)
             elif block == "bottleneck":
+                # with aa (blur), the strided conv runs at stride 1 and a
+                # BlurPool/stride follows act2 (resnet.py:337-377)
+                use_aa = blur and s == 2
                 y = _batch_norm(_conv(x, blk["conv1"], 1), blk["bn1"])
                 y = _batch_norm(
-                    _conv(_pad1(y), blk["conv2"], s, "VALID", groups=card),
-                    blk["bn2"])
+                    _conv(_pad1(y), blk["conv2"], 1 if use_aa else s,
+                          "VALID", groups=card), blk["bn2"])
+                if use_aa:
+                    y = _blur_pool(y, s)
                 y = _batch_norm(_conv(y, blk["conv3"], 1), blk["bn3"],
                                 act=False)
             else:
-                # BasicBlock: stride on conv1 (reference resnet.py:270)
-                y = _batch_norm(_conv(_pad1(x), blk["conv1"], s, "VALID"),
+                # BasicBlock: stride on conv1 (reference resnet.py:270);
+                # aa: conv1 stride 1 + BlurPool after act1 (:259-302)
+                use_aa = blur and s == 2
+                y = _batch_norm(_conv(_pad1(x), blk["conv1"],
+                                      1 if use_aa else s, "VALID"),
                                 blk["bn1"])
+                if use_aa:
+                    y = _blur_pool(y, s)
                 y = _batch_norm(_conv(_pad1(y), blk["conv2"], 1, "VALID"),
                                 blk["bn2"], act=False)
-            if "se" in blk:
-                y = _se_apply(y, blk["se"])
+            y = _attn_apply(y, blk, attn)
             x = jax.nn.relu(y + shortcut)
     return x
 
@@ -505,7 +688,8 @@ def _bn_from(sd, base):
 def load_resnet(params: Params, sd: Dict[str, Any], variant: str,
                 prefix: str = "patch_embed.backbone.") -> Params:
     _, block, stem, down = RESNETS[variant][:4]
-    if stem in ("deep", "deep64"):
+    attn = _resnet_cfg(variant)["attn"]
+    if stem in _STEM_CHS:
         stem_p = {
             "conv1": _w(sd, prefix + "conv1.0.weight"),
             "bn1": _bn_from(sd, prefix + "conv1.1"),
@@ -540,14 +724,20 @@ def load_resnet(params: Params, sd: Dict[str, Any], variant: str,
                     nb[f"conv{ci}"] = _w(sd, base + f"conv{ci}.weight")
                     nb[f"bn{ci}"] = _bn_from(sd, base + f"bn{ci}")
             if "se" in blk:
-                rw = np.asarray(sd[base + "se.fc1.weight"])[:, :, 0, 0]
-                ew = np.asarray(sd[base + "se.fc2.weight"])[:, :, 0, 0]
-                nb["se"] = {
-                    "reduce_w": jnp.asarray(rw.T, jnp.float32),
-                    "reduce_b": _v(sd, base + "se.fc1.bias"),
-                    "expand_w": jnp.asarray(ew.T, jnp.float32),
-                    "expand_b": _v(sd, base + "se.fc2.bias"),
-                }
+                if attn == "eca":
+                    # EcaModule Conv1d weight (1, 1, k) (layers/eca.py:62)
+                    nb["se"] = {"conv": jnp.asarray(
+                        np.asarray(sd[base + "se.conv.weight"]).reshape(-1),
+                        jnp.float32)}
+                else:
+                    rw = np.asarray(sd[base + "se.fc1.weight"])[:, :, 0, 0]
+                    ew = np.asarray(sd[base + "se.fc2.weight"])[:, :, 0, 0]
+                    nb["se"] = {
+                        "reduce_w": jnp.asarray(rw.T, jnp.float32),
+                        "reduce_b": _v(sd, base + "se.fc1.bias"),
+                        "expand_w": jnp.asarray(ew.T, jnp.float32),
+                        "expand_b": _v(sd, base + "se.fc2.bias"),
+                    }
             if "down_conv" in blk:
                 nb["down_conv"] = _w(sd, base + f"downsample.{dci}.weight")
                 nb["down_bn"] = _bn_from(sd, base + f"downsample.{dci + 1}")
