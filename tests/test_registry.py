@@ -1711,3 +1711,79 @@ class TestMixNetParity:
 
     def test_mixnet_xl_parity(self):
         self._compare("mixnet_xl")   # cm 1.6 dm 1.2, round trunc
+
+
+@pytest.mark.slow
+class TestTFVariantParity:
+    """Golden parity for the TF-ported zoo variants: asymmetric 'SAME'
+    padding (conv2d_same, layers/conv2d_same.py:14-29) + BN eps 1e-3
+    (BN_EPS_TF_DEFAULT), reference efficientnet.py:1206-1729 /
+    mobilenetv3.py:394-457.  With var~1, eps 1e-3 vs 1e-5 shifts each BN's
+    scale by ~5e-4; compounded over the ~50-BN stacks that exceeds rtol,
+    so a wrong eps fails.  Even input sizes make every stride-2 SAME pad
+    asymmetric ((0,1) not (1,1))."""
+
+    def _compare(self, name, module, img=128):
+        from reference_harness import install
+        install()
+        import importlib
+        import torch
+        TM = importlib.import_module(f"timm.models.{module}")
+        torch.manual_seed(0)
+        tm = getattr(TM, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_tf_efficientnet_b0(self):
+        self._compare("tf_efficientnet_b0", "efficientnet")
+
+    def test_tf_efficientnet_b2_ns(self):
+        self._compare("tf_efficientnet_b2_ns", "efficientnet")
+
+    def test_tf_efficientnet_lite2(self):
+        self._compare("tf_efficientnet_lite2", "efficientnet")
+
+    def test_tf_efficientnet_es(self):
+        self._compare("tf_efficientnet_es", "efficientnet")
+
+    def test_tf_mixnet_s(self):
+        self._compare("tf_mixnet_s", "efficientnet", img=96)
+
+    def test_tf_mixnet_l(self):
+        self._compare("tf_mixnet_l", "efficientnet", img=96)
+
+    def test_mixnet_xxl(self):
+        # non-tf, but exercises the stage-sum 'round' depth distribution
+        # (dm=1.3: repeats (1,1) -> (1,2)) that per-entry rounding misses
+        self._compare("mixnet_xxl", "efficientnet", img=96)
+
+    def test_tf_mobilenetv3_large_100(self):
+        self._compare("tf_mobilenetv3_large_100", "mobilenetv3")
+
+    def test_tf_mobilenetv3_small_075(self):
+        self._compare("tf_mobilenetv3_small_075", "mobilenetv3")
+
+    def test_tf_mobilenetv3_large_minimal_100(self):
+        self._compare("tf_mobilenetv3_large_minimal_100", "mobilenetv3")
+
+    def test_tf_mobilenetv3_small_minimal_100(self):
+        self._compare("tf_mobilenetv3_small_minimal_100", "mobilenetv3")

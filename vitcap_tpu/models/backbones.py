@@ -59,9 +59,11 @@ def _group_norm(x, p, groups=32, act=True):
     return jax.nn.relu(x) if act else x
 
 
-def _batch_norm(x, p, act=True):
-    """Eval-mode BN on running stats."""
-    inv = jax.lax.rsqrt(p["var"] + _EPS)
+def _batch_norm(x, p, act=True, eps=_EPS):
+    """Eval-mode BN on running stats.  eps defaults to torch's 1e-5; the
+    TF-ported zoo variants pass BN_EPS_TF_DEFAULT=1e-3 (reference
+    efficientnet_blocks.py:24, resolve_bn_args)."""
+    inv = jax.lax.rsqrt(p["var"] + eps)
     x = (x - p["mean"]) * inv * p["scale"] + p["bias"]
     return jax.nn.relu(x) if act else x
 

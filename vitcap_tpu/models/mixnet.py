@@ -27,9 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .backbones import _batch_norm, _bn_p, _bn_from, _kaiming, _v
-from .efficientnet import (_conv_sym, _dwconv, _kaiming_dw, _relu6, _se,
-                           _se_p, _w_conv, _w_dw, make_divisible,
-                           round_channels)
+from .efficientnet import (BN_EPS_TF, _conv_sym, _dwconv, _kaiming_dw,
+                           _relu6, _se, _se_p, _w_conv, _w_dw,
+                           make_divisible, round_channels,
+                           scale_stage_repeats)
 
 Params = Dict[str, Any]
 
@@ -79,19 +80,35 @@ MIXNETS = {
     "mixnet_m": (_ARCH_M, 1.0, 1.0, 24),
     "mixnet_l": (_ARCH_M, 1.3, 1.0, 24),
     "mixnet_xl": (_ARCH_M, 1.6, 1.2, 24),
+    "mixnet_xxl": (_ARCH_M, 2.4, 1.3, 24),   # efficientnet.py:1688-1694
 }
+# TF-ported mixnets (efficientnet.py:1697-1729): same archs, SAME padding
+# + BN eps 1e-3.
+TF_MIXNETS = {"tf_mixnet_s": "mixnet_s", "tf_mixnet_m": "mixnet_m",
+              "tf_mixnet_l": "mixnet_l"}
 MIXNET_FEATURES = 1536
 
 
+def _resolve(variant: str):
+    """-> (base variant, tf: SAME padding + BN eps 1e-3)."""
+    if variant in TF_MIXNETS:
+        return TF_MIXNETS[variant], True
+    return variant, False
+
+
 def mixnet_plan(variant: str):
+    variant, _ = _resolve(variant)
     arch, cm, dm, stem0 = MIXNETS[variant]
     stem = round_channels(stem0, cm)
     in_c = stem
     stages = []
     for row in arch:
+        # depth_trunc='round' with stage-sum distribution
+        # (decode_arch_def(..., depth_trunc='round'), _scale_stage_depth)
+        reps_row = scale_stage_repeats([b[1] for b in row], dm, "round") \
+            if dm != 1.0 else [b[1] for b in row]
         blocks = []
-        for bt, r, ks, ek, pk, s, e, c, se, a in row:
-            reps = max(1, round(r * dm)) if dm != 1.0 else r
+        for (bt, r, ks, ek, pk, s, e, c, se, a), reps in zip(row, reps_row):
             out = round_channels(c, cm)
             for bi in range(reps):
                 mid = make_divisible(in_c * e)
@@ -117,15 +134,16 @@ def _act(x, kind):
     return x * jax.nn.sigmoid(x)                       # swish
 
 
-def _mixed_dw(x, ws, stride):
-    """Mixed depthwise conv: channel splits per kernel."""
+def _mixed_dw(x, ws, stride, same=False):
+    """Mixed depthwise conv: channel splits per kernel (each chunk padded
+    independently, matching MixedConv2d's per-kernel create_conv2d)."""
     if len(ws) == 1:
-        return _dwconv(x, ws[0], stride)
+        return _dwconv(x, ws[0], stride, same)
     splits = _split_channels(x.shape[-1], len(ws))
     outs = []
     o = 0
     for w, c in zip(ws, splits):
-        outs.append(_dwconv(x[..., o:o + c], w, stride))
+        outs.append(_dwconv(x[..., o:o + c], w, stride, same))
         o += c
     return jnp.concatenate(outs, axis=-1)
 
@@ -146,34 +164,40 @@ def _mixed_pw(x, ws):
 def apply_mixnet(p: Params, images: jnp.ndarray, variant: str) -> jnp.ndarray:
     """(B, H, W, 3) -> (B, H/32, W/32, 1536) feature map."""
     _, stages, _ = mixnet_plan(variant)
-    x = _act(_batch_norm(_conv_sym(images, p["stem"]["conv"], 2),
-                         p["stem"]["bn"], act=False), "re")
+    _, same = _resolve(variant)
+    eps = BN_EPS_TF if same else 1e-5
+
+    def bn(x, p_):
+        return _batch_norm(x, p_, act=False, eps=eps)
+
+    x = _act(bn(_conv_sym(images, p["stem"]["conv"], 2, same),
+                p["stem"]["bn"]), "re")
     for si, blocks in enumerate(stages):
         for bi, blk in enumerate(blocks):
             bp = p["stages"][si][bi]
             act = blk["act"]
             residual = x
             if blk["type"] == "ds":
-                y = _mixed_dw(x, bp["conv_dw"], blk["stride"])
-                y = _act(_batch_norm(y, bp["bn1"], act=False), act)
+                y = _mixed_dw(x, bp["conv_dw"], blk["stride"], same)
+                y = _act(bn(y, bp["bn1"]), act)
                 if blk["se"]:
                     y = _se(y, bp["se_p"], lambda v: _act(v, act))
                 y = _mixed_pw(y, bp["conv_pw"])
-                y = _batch_norm(y, bp["bn2"], act=False)
+                y = bn(y, bp["bn2"])
             else:
                 y = _mixed_pw(x, bp["conv_pw"])
-                y = _act(_batch_norm(y, bp["bn1"], act=False), act)
-                y = _mixed_dw(y, bp["conv_dw"], blk["stride"])
-                y = _act(_batch_norm(y, bp["bn2"], act=False), act)
+                y = _act(bn(y, bp["bn1"]), act)
+                y = _mixed_dw(y, bp["conv_dw"], blk["stride"], same)
+                y = _act(bn(y, bp["bn2"]), act)
                 if blk["se"]:
                     y = _se(y, bp["se_p"], lambda v: _act(v, act))
                 y = _mixed_pw(y, bp["conv_pwl"])
-                y = _batch_norm(y, bp["bn3"], act=False)
+                y = bn(y, bp["bn3"])
             if blk["stride"] == 1 and blk["in"] == blk["out"]:
                 y = y + residual
             x = y
     x = _conv_sym(x, p["pen"]["conv"])
-    return _act(_batch_norm(x, p["pen"]["bn"], act=False), "re")
+    return _act(bn(x, p["pen"]["bn"]), "re")
 
 
 def _mixed_dw_p(ks_it, kernels, c):

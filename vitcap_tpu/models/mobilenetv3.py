@@ -85,15 +85,56 @@ _ARCH_RW = (
     (("cn", 1, 1, 1, 0.0, 960, 0.0, "hs"),),
 )
 
+# 'minimal' archs (mobilenetv3.py:270-284 small, :304-321 large): all-relu,
+# no SE, 3x3 kernels only; registered only as tf_ variants in the reference.
+_ARCH_LARGE_MIN = (
+    (("ds", 1, 3, 1, 1.0, 16, 0.0, "re"),),
+    (("ir", 1, 3, 2, 4.0, 24, 0.0, "re"),
+     ("ir", 1, 3, 1, 3.0, 24, 0.0, "re")),
+    (("ir", 3, 3, 2, 3.0, 40, 0.0, "re"),),
+    (("ir", 1, 3, 2, 6.0, 80, 0.0, "re"),
+     ("ir", 1, 3, 1, 2.5, 80, 0.0, "re"),
+     ("ir", 2, 3, 1, 2.3, 80, 0.0, "re")),
+    (("ir", 2, 3, 1, 6.0, 112, 0.0, "re"),),
+    (("ir", 3, 3, 2, 6.0, 160, 0.0, "re"),),
+    (("cn", 1, 1, 1, 0.0, 960, 0.0, "re"),),
+)
+_ARCH_SMALL_MIN = (
+    (("ds", 1, 3, 2, 1.0, 16, 0.0, "re"),),
+    (("ir", 1, 3, 2, 4.5, 24, 0.0, "re"),
+     ("ir", 1, 3, 1, 3.67, 24, 0.0, "re")),
+    (("ir", 1, 3, 2, 4.0, 40, 0.0, "re"),
+     ("ir", 2, 3, 1, 6.0, 40, 0.0, "re")),
+    (("ir", 2, 3, 1, 3.0, 48, 0.0, "re"),),
+    (("ir", 3, 3, 2, 6.0, 96, 0.0, "re"),),
+    (("cn", 1, 1, 1, 0.0, 576, 0.0, "re"),),
+)
+
 # name -> (channel_multiplier, default img, arch, num_features, head_bias,
-#          se_divisor, se_act: None = block act)
+#          se_divisor, se_act: None = block act, stem/head act)
 MOBILENETV3S = {
-    "mobilenetv3_large_075": (0.75, 224, _ARCH_LARGE, 1280, True, 8, "re"),
-    "mobilenetv3_large_100": (1.0, 224, _ARCH_LARGE, 1280, True, 8, "re"),
-    "mobilenetv3_small_075": (0.75, 224, _ARCH_SMALL, 1024, True, 8, "re"),
-    "mobilenetv3_small_100": (1.0, 224, _ARCH_SMALL, 1024, True, 8, "re"),
-    "mobilenetv3_rw": (1.0, 224, _ARCH_RW, 1280, False, 1, None),
+    "mobilenetv3_large_075": (0.75, 224, _ARCH_LARGE, 1280, True, 8, "re",
+                              "hs"),
+    "mobilenetv3_large_100": (1.0, 224, _ARCH_LARGE, 1280, True, 8, "re",
+                              "hs"),
+    "mobilenetv3_small_075": (0.75, 224, _ARCH_SMALL, 1024, True, 8, "re",
+                              "hs"),
+    "mobilenetv3_small_100": (1.0, 224, _ARCH_SMALL, 1024, True, 8, "re",
+                              "hs"),
+    "mobilenetv3_rw": (1.0, 224, _ARCH_RW, 1280, False, 1, None, "hs"),
 }
+# TF-ported variants (mobilenetv3.py:394-457): same builder with
+# pad_type='same' + BN eps 1e-3; minimal archs exist only here.
+for _cm, _sfx in ((0.75, "075"), (1.0, "100")):
+    MOBILENETV3S[f"tf_mobilenetv3_large_{_sfx}"] = \
+        (_cm, 224, _ARCH_LARGE, 1280, True, 8, "re", "hs")
+    MOBILENETV3S[f"tf_mobilenetv3_small_{_sfx}"] = \
+        (_cm, 224, _ARCH_SMALL, 1024, True, 8, "re", "hs")
+MOBILENETV3S["tf_mobilenetv3_large_minimal_100"] = \
+    (1.0, 224, _ARCH_LARGE_MIN, 1280, True, 8, "re", "re")
+MOBILENETV3S["tf_mobilenetv3_small_minimal_100"] = \
+    (1.0, 224, _ARCH_SMALL_MIN, 1024, True, 8, "re", "re")
+TF_MN3 = frozenset(n for n in MOBILENETV3S if n.startswith("tf_"))
 
 
 def mn3_plan(variant: str) -> Tuple[int, List[List[dict]], int, bool]:
@@ -101,7 +142,7 @@ def mn3_plan(variant: str) -> Tuple[int, List[List[dict]], int, bool]:
     head_bias).  Stage grouping follows the reference arch_def rows (one
     entry per `ir_rN_...` string), so torch keys `blocks.{stage}.{i}` map
     directly."""
-    cm, _, arch, feats, head_bias, se_div, se_act = MOBILENETV3S[variant]
+    cm, _, arch, feats, head_bias, se_div, se_act, _ = MOBILENETV3S[variant]
     stem = round_channels(16, cm)
     in_c = stem
     stages: List[List[dict]] = []
@@ -140,34 +181,41 @@ def apply_mn3(p: Params, images: jnp.ndarray, variant: str) -> jnp.ndarray:
     """(B, H, W, 3) -> (B, H/32, W/32, cn_out) feature map (pre-pool
     forward_features, mobilenetv3.py:128-135)."""
     _, stages, _, _ = mn3_plan(variant)
-    x = _batch_norm(_conv_sym(images, p["stem"]["conv"], 2),
-                    p["stem"]["bn"], act=False)
-    x = hard_swish(x)
+    same = variant in TF_MN3
+    from .efficientnet import BN_EPS_TF
+    eps = BN_EPS_TF if same else 1e-5
+    stem_act = _ACTS[MOBILENETV3S[variant][7]]
+
+    def bn(x, p_):
+        return _batch_norm(x, p_, act=False, eps=eps)
+
+    x = bn(_conv_sym(images, p["stem"]["conv"], 2, same), p["stem"]["bn"])
+    x = stem_act(x)
     for si, blocks in enumerate(stages):
         for bi, blk in enumerate(blocks):
             bp = p["stages"][si][bi]
             act = _ACTS[blk["act"]]
             residual = x
             if blk["type"] == "cn":
-                x = act(_batch_norm(_conv_sym(x, bp["conv"], blk["stride"]),
-                                    bp["bn1"], act=False))
+                x = act(bn(_conv_sym(x, bp["conv"], blk["stride"], same),
+                           bp["bn1"]))
                 continue
             if blk["type"] == "ds":
-                y = _dwconv(x, bp["conv_dw"], blk["stride"])
-                y = act(_batch_norm(y, bp["bn1"], act=False))
+                y = _dwconv(x, bp["conv_dw"], blk["stride"], same)
+                y = act(bn(y, bp["bn1"]))
                 if blk["se"]:
                     y = _se_gated(y, bp["se"], _ACTS[blk["se_act"]])
-                y = _conv_sym(y, bp["conv_pw"])
-                y = _batch_norm(y, bp["bn2"], act=False)
+                y = _conv_sym(y, bp["conv_pw"], 1, same)
+                y = bn(y, bp["bn2"])
             else:                                           # ir
-                y = _conv_sym(x, bp["conv_pw"])
-                y = act(_batch_norm(y, bp["bn1"], act=False))
-                y = _dwconv(y, bp["conv_dw"], blk["stride"])
-                y = act(_batch_norm(y, bp["bn2"], act=False))
+                y = _conv_sym(x, bp["conv_pw"], 1, same)
+                y = act(bn(y, bp["bn1"]))
+                y = _dwconv(y, bp["conv_dw"], blk["stride"], same)
+                y = act(bn(y, bp["bn2"]))
                 if blk["se"]:
                     y = _se_gated(y, bp["se"], _ACTS[blk["se_act"]])
-                y = _conv_sym(y, bp["conv_pwl"])
-                y = _batch_norm(y, bp["bn3"], act=False)
+                y = _conv_sym(y, bp["conv_pwl"], 1, same)
+                y = bn(y, bp["bn3"])
             if (blk["stride"] == 1 and blk["in"] == blk["out"]
                     and not blk["noskip"]):
                 y = y + residual
@@ -177,12 +225,13 @@ def apply_mn3(p: Params, images: jnp.ndarray, variant: str) -> jnp.ndarray:
 
 def apply_mn3_head(p: Params, feats: jnp.ndarray, variant: str) -> jnp.ndarray:
     """Efficient head: global-avg-pool, 1x1 conv_head (+bias unless rw),
-    act -> (B, num_features) (mobilenetv3.py:101-112, :136-144)."""
+    act -> (B, num_features) (mobilenetv3.py:101-112, :136-144).  Head act
+    is the model act_layer (hard_swish; relu for minimal variants)."""
     pooled = jnp.mean(feats, axis=(1, 2))
     h = pooled @ p["head"]["conv"]
     if "bias" in p["head"]:
         h = h + p["head"]["bias"]
-    return hard_swish(h)
+    return _ACTS[MOBILENETV3S[variant][7]](h)
 
 
 def init_mn3(rng: jax.Array, variant: str) -> Params:

@@ -369,7 +369,7 @@ class EffNetModelSpec:
 
 
 def _register_efficientnets():
-    from .efficientnet import EFFICIENTNETS, GENERIC_EFFNETS
+    from .efficientnet import EFFICIENTNETS, GENERIC_EFFNETS, TF_EFFNETS
 
     def make_builder(vname, img):
         def builder(**kw):
@@ -382,6 +382,8 @@ def _register_efficientnets():
         register_model(make_builder(vname, img))
     for vname in GENERIC_EFFNETS:
         register_model(make_builder(vname, 224))
+    for vname, (_, img) in TF_EFFNETS.items():
+        register_model(make_builder(vname, img))
 
 
 _register_efficientnets()
@@ -447,7 +449,7 @@ class MixNetModelSpec:
 
 
 def _register_mixnets():
-    from .mixnet import MIXNETS
+    from .mixnet import MIXNETS, TF_MIXNETS
 
     def make_builder(vname):
         def builder(**kw):
@@ -456,7 +458,7 @@ def _register_mixnets():
         builder.__name__ = vname
         return builder
 
-    for vname in MIXNETS:
+    for vname in list(MIXNETS) + list(TF_MIXNETS):
         register_model(make_builder(vname))
 
 
@@ -1663,6 +1665,83 @@ def load_resnest_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone ResNetV2 / BiT classifiers (the reference zoo's
+#    resnetv2.py:433-511 resnetv2_*_bitm[_in21k]) --
+
+@dataclasses.dataclass(frozen=True)
+class ResNetV2ModelSpec:
+    """Static description of a ResNetV2/BiT classifier (pre-activation
+    bottlenecks, weight-standardized convs, GroupNorm; resnetv2.py)."""
+    name: str
+    variant: str                   # key of resnetv2.RESNETV2S
+    num_classes: int = 1000
+    img_size: int = 480
+
+    @property
+    def feature_channels(self) -> int:
+        from .resnetv2 import resnetv2_feature_channels
+        return resnetv2_feature_channels(self.variant)
+
+
+def _register_resnetv2s():
+    from .resnetv2 import RESNETV2S
+
+    def make_builder(vname, nc):
+        def builder(**kw):
+            kw.setdefault("img_size", 480)
+            kw.setdefault("num_classes", nc)
+            return ResNetV2ModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname, (_, _, nc) in RESNETV2S.items():
+        register_model(make_builder(vname, nc))
+
+
+_register_resnetv2s()
+
+
+def init_resnetv2_params(rng: jax.Array, spec: ResNetV2ModelSpec) -> Params:
+    from .resnetv2 import init_resnetv2
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_resnetv2(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def resnetv2_forward(params: Params, images: jnp.ndarray,
+                     spec: ResNetV2ModelSpec, head: bool = False,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    from .resnetv2 import apply_resnetv2
+    x = apply_resnetv2(params["backbone"], images.astype(dtype),
+                       spec.variant)
+    if not head:
+        return x
+    # ClassifierHead(use_conv=True): pool then 1x1 conv == dense
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_resnetv2_checkpoint(params: Params, path: str,
+                             spec: ResNetV2ModelSpec) -> Params:
+    from .resnetv2 import load_resnetv2
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_resnetv2(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        fw = np.asarray(sd["head.fc.weight"])[:, :, 0, 0]      # (N, C)
+        out["head"] = {
+            "kernel": jnp.asarray(fw.T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["head.fc.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- standalone Xception classifier (the reference zoo's xception.py) --
 
 @dataclasses.dataclass(frozen=True)
@@ -2271,6 +2350,17 @@ def create_model(name: str, pretrained: bool = False,
         def apply(params, images, head=False):
             return mixnet_forward(params, images, spec, head=head,
                                   dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
+    if isinstance(spec, ResNetV2ModelSpec):
+        params = init_resnetv2_params(rng if rng is not None
+                                      else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_resnetv2_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return resnetv2_forward(params, images, spec, head=head,
+                                    dtype=dtype)
 
         return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, HrNetModelSpec):
