@@ -586,6 +586,27 @@ class TestEfficientNetParity:
     def test_lite0_parity(self):
         self._compare("efficientnet_lite0")  # relu6, no SE, fixed stem/head
 
+    def test_cc_b0_4e_parity(self):
+        # CondConv: per-sample expert-mixed pw/dw/pwl on stages 4-6
+        self._compare("efficientnet_cc_b0_4e")
+
+    def test_cc_b1_8e_parity(self):
+        # 8 experts (experts_multiplier=2) + dm 1.1 depth scaling
+        self._compare("efficientnet_cc_b1_8e")
+
+    def test_cc_routing_is_per_sample(self):
+        # two samples in one batch must route independently: batched
+        # forward == per-sample forwards
+        m = R.create_model("efficientnet_cc_b0_4e", num_classes=5)
+        x = jnp.asarray(np.random.RandomState(3)
+                        .randn(2, 64, 64, 3).astype(np.float32))
+        full = m.apply(m.params, x, head=True)
+        for i in range(2):
+            one = m.apply(m.params, x[i:i + 1], head=True)
+            np.testing.assert_allclose(np.asarray(one),
+                                       np.asarray(full[i:i + 1]),
+                                       rtol=1e-4, atol=1e-5)
+
 
 class TestMobileNetV3:
     def test_names_and_shapes(self):
@@ -1787,3 +1808,65 @@ class TestTFVariantParity:
 
     def test_tf_mobilenetv3_small_minimal_100(self):
         self._compare("tf_mobilenetv3_small_minimal_100", "mobilenetv3")
+
+    def test_tf_efficientnet_cc_b0_8e(self):
+        # CondConv under TF SAME padding (per-sample dw kernels hit the
+        # dynamic-pad path)
+        self._compare("tf_efficientnet_cc_b0_8e", "efficientnet")
+
+
+class TestResNetV2:
+    def test_names_and_shapes(self):
+        from vitcap_tpu.models.resnetv2 import RESNETV2S, resnetv2_plan
+        assert len(RESNETV2S) == 12
+        for n in RESNETV2S:
+            assert R.is_model(n), n
+        stem, stages = resnetv2_plan("resnetv2_50x1_bitm")
+        assert stem == 64
+        assert [s["out"] for s in stages] == [256, 512, 1024, 2048]
+        assert [s["mid"] for s in stages] == [64, 128, 256, 512]
+        # width factor scales through make_div
+        stem3, stages3 = resnetv2_plan("resnetv2_50x3_bitm_in21k")
+        assert stem3 == 192 and stages3[-1]["out"] == 6144
+        assert R.model_spec("resnetv2_50x1_bitm_in21k").num_classes == 21843
+        m = R.create_model("resnetv2_50x1_bitm", num_classes=7)
+        x = jnp.zeros((1, 64, 64, 3))
+        assert m.apply(m.params, x).shape == (1, 2, 2, 2048)
+        assert m.apply(m.params, x, head=True).shape == (1, 7)
+
+
+@pytest.mark.slow
+class TestResNetV2Parity:
+    """Golden parity vs the reference's vendored timm resnetv2 (BiT):
+    pre-act bottlenecks, weight-standardized convs, GroupNorm(32), the
+    'fixed' pad-1+VALID stem pool, pooled 1x1-conv head
+    (resnetv2.py:120-167, :283-300, :312-384)."""
+
+    def _compare(self, name, img=128):
+        from reference_harness import install
+        install()
+        import torch
+        from timm.models import resnetv2 as TR
+        torch.manual_seed(0)
+        tm = getattr(TR, name)(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_resnetv2_50x1_bitm(self):
+        self._compare("resnetv2_50x1_bitm")
+
+    def test_resnetv2_50x3_bitm_in21k(self):
+        # wf=3 exercises make_div widths; 21843-way conv head
+        self._compare("resnetv2_50x3_bitm_in21k", img=96)

@@ -88,9 +88,10 @@ def apply_resnetv2(p: Params, images: jnp.ndarray,
     (forward_features, resnetv2.py:371-375)."""
     _, stages = resnetv2_plan(variant)
     x = _conv_tsym(images, p["stem"]["conv"], 2)
-    # 'fixed' BiT stem pool: pad 1 then VALID 3x3/2 max pool
-    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                constant_values=-jnp.inf)
+    # 'fixed' BiT stem pool: ConstantPad2d(1, 0.) then VALID 3x3/2 max
+    # pool — the pad value is ZERO, not -inf, and with no pre-pool relu
+    # (preact) border zeros can win the max (resnetv2.py:295-297)
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
                               (1, 2, 2, 1), "VALID")
     for si, st in enumerate(stages):
