@@ -770,17 +770,42 @@ class TestDenseNets:
         assert m.apply(m.params, x, head=True).shape == (1, 5)
 
 
+def _enable_python_iabn():
+    """The reference's InplaceAbn raises ImportError without the
+    inplace_abn package (layers/inplace_abn.py:8-16); its documented
+    semantics are BN followed by leaky_relu/elu(act_param).  Patch the
+    functional hook with exactly that so the torch side of iabn-variant
+    parity tests can run."""
+    import torch.nn.functional as F
+    import timm.models.layers.inplace_abn as iabn_mod
+
+    def _iabn(x, weight, bias, running_mean, running_var, training=True,
+              momentum=0.1, eps=1e-05, activation="leaky_relu",
+              activation_param=0.01):
+        x = F.batch_norm(x, running_mean, running_var, weight, bias,
+                         training, momentum, eps)
+        if activation == "leaky_relu":
+            x = F.leaky_relu(x, activation_param)
+        elif activation == "elu":
+            x = F.elu(x, activation_param)
+        return x
+
+    iabn_mod.inplace_abn = _iabn
+
+
 @pytest.mark.slow
 class TestDenseNetParity:
     """Golden parity vs the reference's vendored timm densenet family:
     pre-activation dense layers over channel concat, transitions with
     avg-pool, classic + deep stems (densenet.py:47-262)."""
 
-    def _compare(self, name, img=96):
+    def _compare(self, name, img=96, iabn=False):
         from reference_harness import install
         install()
         import torch
         from timm.models import densenet as TD
+        if iabn:
+            _enable_python_iabn()
         torch.manual_seed(0)
         tm = getattr(TD, name)(pretrained=False)
         tm.eval()
@@ -811,6 +836,17 @@ class TestDenseNetParity:
     def test_densenet121d_parity(self):
         self._compare("densenet121d")   # deep 3x3x3 stem
 
+    def test_densenetblur121d_parity(self):
+        # deep stem + maxpool/1 -> BlurPool/2 anti-aliased stem pool
+        self._compare("densenetblur121d")
+
+    def test_tv_densenet121_parity(self):
+        self._compare("tv_densenet121")
+
+    def test_densenet264d_iabn_parity(self):
+        # iabn == eval BN + leaky_relu(0.01) throughout; growth 48
+        self._compare("densenet264d_iabn", img=64, iabn=True)
+
 
 class TestVovNets:
     def test_names_and_shapes(self):
@@ -829,11 +865,13 @@ class TestVovNetParity:
     OSA concat blocks, separable-conv variants, ESE/ECA attention,
     ceil-mode maxpool (vovnet.py:166-345)."""
 
-    def _compare(self, name, img=96):
+    def _compare(self, name, img=96, iabn=False, atol=5e-4):
         from reference_harness import install
         install()
         import torch
         from timm.models import vovnet as TV
+        if iabn:
+            _enable_python_iabn()
         torch.manual_seed(0)
         tm = getattr(TV, name)(pretrained=False)
         tm.eval()
@@ -844,6 +882,10 @@ class TestVovNetParity:
                 sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
             elif k.endswith("running_var"):
                 sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+            elif k.endswith(".v"):
+                # EvoNorm v: ones at init; randomize so the sigmoid gate
+                # is actually exercised
+                sd[k] = 1.0 + 0.5 * torch.randn(sd[k].shape, generator=g)
         tm.load_state_dict(sd)
         import tempfile, os.path as op
         with tempfile.TemporaryDirectory() as d:
@@ -856,7 +898,7 @@ class TestVovNetParity:
             t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
         j_out = m.apply(m.params, jnp.asarray(x), head=True)
         np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
-                                   rtol=2e-3, atol=5e-4)
+                                   rtol=2e-3, atol=atol)
 
     def test_vovnet39a_parity(self):
         self._compare("vovnet39a")          # plain OSA, no attn/residual
@@ -866,6 +908,17 @@ class TestVovNetParity:
 
     def test_eca_vovnet39b_parity(self):
         self._compare("eca_vovnet39b")      # ECA conv1d attention
+
+    def test_ese_vovnet39b_evos_parity(self):
+        # EvoNorm-S0 (groups=8 sample norm) instead of BN+relu
+        self._compare("ese_vovnet39b_evos")
+
+    def test_ese_vovnet99b_iabn_parity(self):
+        # InplaceABN == eval BN + leaky_relu(0.01)
+        # outputs reach O(1e3) after 99 leaky-relu layers; 5e-2
+        # abs is ~5e-5 relative accumulation noise
+        self._compare("ese_vovnet99b_iabn", img=64, iabn=True,
+                      atol=5e-2)
 
 
 @pytest.mark.slow
@@ -1131,12 +1184,14 @@ class TestCspNetParity:
     cross-stage channel splits, leaky-relu ConvBnActs, darknet blocks
     (cspnet.py:56-454)."""
 
-    def _compare(self, name, img=128):
+    def _compare(self, name, img=128, iabn=False):
         from reference_harness import install
         install()
         import importlib
         import torch
         TC = importlib.import_module("timm.models.cspnet")
+        if iabn:
+            _enable_python_iabn()
         torch.manual_seed(0)
         tm = getattr(TC, name)(pretrained=False)
         tm.eval()
@@ -1172,6 +1227,10 @@ class TestCspNetParity:
 
     def test_darknet53_parity(self):
         self._compare("darknet53")      # plain dark stages (no cross)
+
+    def test_cspresnext50_iabn_parity(self):
+        # iabn == eval BN + leaky_relu(0.01) == the non-iabn cspnet math
+        self._compare("cspresnext50_iabn", iabn=True)
 
 
 @pytest.mark.slow

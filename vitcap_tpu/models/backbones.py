@@ -227,6 +227,10 @@ RESNETS = {
                     dict(se=True)),
     "seresnet152d": ((3, 8, 36, 3), "bottleneck", "deep", "avg",
                      dict(se=True)),
+    # same arch as seresnet152d; separate name for the 320x320-eval
+    # pretrained cfg (resnet.py:1253-1258)
+    "seresnet152d_320": ((3, 8, 36, 3), "bottleneck", "deep", "avg",
+                         dict(se=True)),
     "seresnext26d_32x4d": ((2, 2, 2, 2), "bottleneck", "deep", "avg",
                            dict(card=32, bw=4, se=True)),
     "seresnext50_32x4d": ((3, 4, 6, 3), "bottleneck", "7x7", "conv",

@@ -75,6 +75,12 @@ CSPNETS = {
                       block=(1.,) * 5, groups=(1,) * 5, cross_linear=False,
                       down_growth=False, dark=True, cross=False),
 }
+# InplaceABN variants (cspnet.py:434-448): at eval iabn == BN +
+# leaky_relu(0.01), and CspNet already activates with LeakyReLU(0.01)
+# (cspnet.py:344) — so these are compute-identical aliases with the same
+# state-dict key layout.
+CSPNETS["cspresnext50_iabn"] = CSPNETS["cspresnext50"]
+CSPNETS["cspdarknet53_iabn"] = CSPNETS["cspdarknet53"]
 
 
 def cspnet_feature_channels(variant: str) -> int:

@@ -12,12 +12,15 @@ op-for-op:
 - transition between blocks: BN+relu -> 1x1 conv to half -> 2x2/2 avg pool
   (:138-147).
 - stem: classic 7x7/2 conv -> BN+relu -> 3x3/2 maxpool (pad 1), or the
-  'deep' three-3x3 stem for the *d variants (:175-201: 3*(g//4) ->
-  6*(g//4) -> 2g channels).
+  'deep' three-3x3 stem for the *d variants (:182-194: plain 'deep' uses
+  g -> g -> 2g channels; no densenet variant uses the 'tiered' widths).
 - final BN+relu (norm5), global-avg-pool, linear classifier (:233-241).
-
-Skipped (as with the zoo's other anti-aliased/iabn variants): the
-blur-pool densenetblur121d and densenet264d_iabn.
+- densenetblur121d (:305-312): deep stem whose pool is maxpool 3x3
+  STRIDE 1 (pad 1) followed by BlurPool2d stride 2 (:176-181,
+  aa_stem_only so transitions keep plain avg-pool).
+- densenet264d_iabn (:367-375): deep stem + InplaceABN norm; at eval
+  iabn == BN + leaky_relu(0.01) (layers/inplace_abn.py:41 act defaults).
+- tv_densenet121 (:379-385): the densenet121 arch (torchvision weights).
 
 Torch state-dict loader: features.{conv0,norm0[,conv1,norm1,conv2,norm2]},
 features.denseblock{i}.denselayer{j}.{norm1,conv1,norm2,conv2},
@@ -32,7 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .backbones import _batch_norm, _bn_p, _bn_from, _kaiming, _max_pool
+from .backbones import (_batch_norm, _blur_pool, _bn_p, _bn_from, _kaiming,
+                        _max_pool)
 from .efficientnet import _conv_sym, _w_conv
 
 Params = Dict[str, Any]
@@ -45,9 +49,16 @@ DENSENETS = {
     "densenet201": (32, (6, 12, 48, 32), False),
     "densenet161": (48, (6, 12, 36, 24), False),
     "densenet264": (48, (6, 12, 64, 48), False),
+    "densenetblur121d": (32, (6, 12, 24, 16), True),
+    "densenet264d_iabn": (48, (6, 12, 64, 48), True),
+    "tv_densenet121": (32, (6, 12, 24, 16), False),
 }
 
 _BN_SIZE = 4
+# iabn variants: eval-mode InplaceABN == BN + leaky_relu(0.01)
+_LEAKY = {"densenet264d_iabn"}
+# aa variants: stem maxpool stride 1 + BlurPool2d stride 2 (stem only)
+_BLUR = {"densenetblur121d"}
 
 
 def densenet_feature_channels(variant: str) -> int:
@@ -64,36 +75,46 @@ def _bn_relu(x, p):
     return jax.nn.relu(_batch_norm(x, p, act=False))
 
 
+def _bn_leaky(x, p):
+    return jax.nn.leaky_relu(_batch_norm(x, p, act=False), 0.01)
+
+
 def apply_densenet(p: Params, images: jnp.ndarray,
                    variant: str) -> jnp.ndarray:
     """(B, H, W, 3) -> (B, H/32, W/32, C) post-norm5 feature map (the
     reference forward_features, densenet.py:255-256)."""
     g, cfg, deep = DENSENETS[variant]
+    bn_act = _bn_leaky if variant in _LEAKY else _bn_relu
     stem = p["stem"]
     if deep:
-        x = _bn_relu(_conv_sym(images, stem["conv0"], 2), stem["norm0"])
-        x = _bn_relu(_conv_sym(x, stem["conv1"]), stem["norm1"])
-        x = _bn_relu(_conv_sym(x, stem["conv2"]), stem["norm2"])
+        x = bn_act(_conv_sym(images, stem["conv0"], 2), stem["norm0"])
+        x = bn_act(_conv_sym(x, stem["conv1"]), stem["norm1"])
+        x = bn_act(_conv_sym(x, stem["conv2"]), stem["norm2"])
     else:
-        x = _bn_relu(_conv_sym(images, stem["conv0"], 2), stem["norm0"])
-    x = _max_pool(x, window=3, stride=2, padding=((0, 0), (1, 1), (1, 1),
-                                                  (0, 0)))
+        x = bn_act(_conv_sym(images, stem["conv0"], 2), stem["norm0"])
+    if variant in _BLUR:
+        x = _max_pool(x, window=3, stride=1,
+                      padding=((0, 0), (1, 1), (1, 1), (0, 0)))
+        x = _blur_pool(x)
+    else:
+        x = _max_pool(x, window=3, stride=2,
+                      padding=((0, 0), (1, 1), (1, 1), (0, 0)))
     for i in range(len(cfg)):
         feats = [x]
         for lp in p["blocks"][i]:
             h = jnp.concatenate(feats, axis=-1)
-            h = _bn_relu(h, lp["norm1"])
+            h = bn_act(h, lp["norm1"])
             h = _conv_sym(h, lp["conv1"])
-            h = _bn_relu(h, lp["norm2"])
+            h = bn_act(h, lp["norm2"])
             feats.append(_conv_sym(h, lp["conv2"]))
         x = jnp.concatenate(feats, axis=-1)
         if i != len(cfg) - 1:
             tp = p["transitions"][i]
-            x = _conv_sym(_bn_relu(x, tp["norm"]), tp["conv"])
+            x = _conv_sym(bn_act(x, tp["norm"]), tp["conv"])
             x = jax.lax.reduce_window(
                 x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
                 "VALID") / 4.0
-    return _bn_relu(x, p["norm5"])
+    return bn_act(x, p["norm5"])
 
 
 def init_densenet(rng: jax.Array, variant: str) -> Params:
@@ -101,7 +122,9 @@ def init_densenet(rng: jax.Array, variant: str) -> Params:
     init_c = 2 * g
     ks = iter(jax.random.split(rng, 4 + 2 * sum(cfg) + len(cfg)))
     if deep:
-        c1, c2 = 3 * (g // 4), 6 * (g // 4)
+        # plain 'deep' stem: g -> g -> 2g (densenet.py:183; the tiered
+        # widths are never used by a densenet variant)
+        c1 = c2 = g
         stem = {"conv0": _kaiming(next(ks), (3, 3, 3, c1)),
                 "norm0": _bn_p(c1),
                 "conv1": _kaiming(next(ks), (3, 3, c1, c2)),

@@ -16,8 +16,9 @@ op-for-op:
 - stages 1-3 downsample with MaxPool2d(3, 2, ceil_mode=True) (:222-225).
 - head: global-avg-pool + fc.
 
-Skipped: ese_vovnet39b_evos / ese_vovnet99b_iabn (EvoNorm / inplace-ABN
-norm variants, vendored-but-unused in the reference too).
+Norm variants: ese_vovnet99b_iabn (InplaceABN == eval BN +
+leaky_relu(0.01), vovnet.py:399-403) and ese_vovnet39b_evos
+(EvoNormSample2d groups=8, :392-396, layers/evo_norm.py:55-83).
 
 Torch state-dict loader: stem.{0,1,2}.{conv,conv_dw,conv_pw,bn},
 stages.{i}.blocks.{j}.{conv_reduction,conv_mid.k,conv_concat}.{...},
@@ -75,6 +76,12 @@ VOVNETS = {
                           out=(256, 512, 768, 1024), lpb=5, bps=(1, 1, 2, 2),
                           residual=True, dw=False, attn="eca"),
 }
+# ese_vovnet99b_iabn (vovnet.py:399-403): InplaceABN norm with
+# act_layer=nn.LeakyReLU -> at eval BN + leaky_relu(0.01); same keys.
+VOVNETS["ese_vovnet99b_iabn"] = dict(VOVNETS["ese_vovnet99b"], act="leaky")
+# ese_vovnet39b_evos (vovnet.py:392-396): EvoNormSample2d(groups=8)
+# replaces BN+act (no running stats; params weight/bias/v).
+VOVNETS["ese_vovnet39b_evos"] = dict(VOVNETS["ese_vovnet39b"], norm="evos")
 
 
 def vovnet_feature_channels(variant: str) -> int:
@@ -99,17 +106,40 @@ def _maxpool_ceil(x):
         ((0, 0), (0, max(ph, 0)), (0, max(pw, 0)), (0, 0)))
 
 
-def _cba(x, p, stride=1):
-    """ConvBnAct: conv (no bias) -> bn -> relu."""
-    return jax.nn.relu(_batch_norm(_conv_sym(x, p["conv"], stride),
-                                   p["bn"], act=False))
+def _evo_norm_s(x, p, groups=8, eps=1e-5):
+    """EvoNorm-S0 (layers/evo_norm.py:55-83): n = x*sigmoid(v*x) divided
+    by the per-sample per-group std (variance over (C/g, H, W) with
+    torch's (B, C, H, W) grouping), then affine.  No running stats, so
+    eval == train math."""
+    B, H, W, C = x.shape
+    n = x * jax.nn.sigmoid(x * p["v"])
+    xg = x.reshape(B, H, W, groups, C // groups)
+    d = jnp.sqrt(jnp.var(xg, axis=(1, 2, 4), keepdims=True) + eps)
+    n = (n.reshape(B, H, W, groups, C // groups) / d).reshape(B, H, W, C)
+    return n * p["scale"] + p["bias"]
 
 
-def _sep_cba(x, p, stride=1):
-    """SeparableConvBnAct: dw 3x3 -> pw 1x1 -> bn -> relu (one bn)."""
+def _norm_act_fn(cfg):
+    if cfg.get("norm") == "evos":
+        return _evo_norm_s
+    if cfg.get("act") == "leaky":
+        return lambda x, p_: jax.nn.leaky_relu(
+            _batch_norm(x, p_, act=False), 0.01)
+    return lambda x, p_: jax.nn.relu(_batch_norm(x, p_, act=False))
+
+
+def _cba(x, p, stride=1, na=None):
+    """ConvBnAct: conv (no bias) -> norm+act (bn+relu default)."""
+    na = na or (lambda y, p_: jax.nn.relu(_batch_norm(y, p_, act=False)))
+    return na(_conv_sym(x, p["conv"], stride), p["bn"])
+
+
+def _sep_cba(x, p, stride=1, na=None):
+    """SeparableConvBnAct: dw 3x3 -> pw 1x1 -> ONE norm+act."""
+    na = na or (lambda y, p_: jax.nn.relu(_batch_norm(y, p_, act=False)))
     y = _dwconv(x, p["conv_dw"], stride)
     y = _conv_sym(y, p["conv_pw"])
-    return jax.nn.relu(_batch_norm(y, p["bn"], act=False))
+    return na(y, p["bn"])
 
 
 def _attn(x, p, kind):
@@ -135,21 +165,23 @@ def apply_vovnet(p: Params, images: jnp.ndarray, variant: str) -> jnp.ndarray:
     reference forward_features, vovnet.py:341-342)."""
     cfg = VOVNETS[variant]
     dw = cfg["dw"]
-    x = _cba(images, p["stem"][0], 2)
-    x = (_sep_cba if dw else _cba)(x, p["stem"][1], 1)
-    x = (_sep_cba if dw else _cba)(x, p["stem"][2], 2)
+    na = _norm_act_fn(cfg)
+    x = _cba(images, p["stem"][0], 2, na)
+    x = (_sep_cba if dw else _cba)(x, p["stem"][1], 1, na)
+    x = (_sep_cba if dw else _cba)(x, p["stem"][2], 2, na)
     for si in range(4):
         if si > 0:
             x = _maxpool_ceil(x)
         for bi, bp in enumerate(p["stages"][si]):
             inp = x
             if "conv_reduction" in bp:
-                x = _cba(x, bp["conv_reduction"])
+                x = _cba(x, bp["conv_reduction"], 1, na)
             outs = [inp]
             for mp in bp["mid"]:
-                x = (_sep_cba if dw else _cba)(x, mp)
+                x = (_sep_cba if dw else _cba)(x, mp, 1, na)
                 outs.append(x)
-            x = _cba(jnp.concatenate(outs, axis=-1), bp["conv_concat"])
+            x = _cba(jnp.concatenate(outs, axis=-1), bp["conv_concat"],
+                     1, na)
             if "attn" in bp:
                 x = _attn(x, bp["attn"], cfg["attn"])
             if cfg["residual"] and bi > 0:
@@ -163,15 +195,23 @@ def init_vovnet(rng: jax.Array, variant: str) -> Params:
                                  cfg["lpb"], cfg["bps"])
     dw = cfg["dw"]
     ks = iter(jax.random.split(rng, 256))
+    evos = cfg.get("norm") == "evos"
+
+    def norm_p(c):
+        if evos:
+            return {"scale": jnp.ones((c,), jnp.float32),
+                    "bias": jnp.zeros((c,), jnp.float32),
+                    "v": jnp.ones((c,), jnp.float32)}
+        return _bn_p(c)
 
     def cba_p(cin, cout, k=3):
         return {"conv": _kaiming(next(ks), (k, k, cin, cout)),
-                "bn": _bn_p(cout)}
+                "bn": norm_p(cout)}
 
     def sep_p(cin, cout):
         return {"conv_dw": _kaiming_dw(next(ks), (3, 3, 1, cin)),
                 "conv_pw": _kaiming(next(ks), (1, 1, cin, cout)),
-                "bn": _bn_p(cout)}
+                "bn": norm_p(cout)}
 
     p: Params = {"stem": [
         cba_p(3, stem[0]),
@@ -214,15 +254,30 @@ def load_vovnet(params: Params, sd: Dict[str, Any], variant: str,
     """Load the reference timm VovNet torch state-dict."""
     cfg = VOVNETS[variant]
     dw = cfg["dw"]
+    evos = cfg.get("norm") == "evos"
+
+    def norm_from(base):
+        if evos:
+            # EvoNormSample2d params are (1, C, 1, 1)
+            return {"scale": jnp.asarray(
+                        np.asarray(sd[base + ".weight"]).reshape(-1),
+                        jnp.float32),
+                    "bias": jnp.asarray(
+                        np.asarray(sd[base + ".bias"]).reshape(-1),
+                        jnp.float32),
+                    "v": jnp.asarray(
+                        np.asarray(sd[base + ".v"]).reshape(-1),
+                        jnp.float32)}
+        return _bn_from(sd, base)
 
     def cba_from(base):
         return {"conv": _w_conv(sd, base + ".conv.weight"),
-                "bn": _bn_from(sd, base + ".bn")}
+                "bn": norm_from(base + ".bn")}
 
     def sep_from(base):
         return {"conv_dw": _w_dw(sd, base + ".conv_dw.weight"),
                 "conv_pw": _w_conv(sd, base + ".conv_pw.weight"),
-                "bn": _bn_from(sd, base + ".bn")}
+                "bn": norm_from(base + ".bn")}
 
     p: Params = {"stem": [
         cba_from(prefix + "stem.0"),
