@@ -494,6 +494,10 @@ class TestResNetParity:
     def test_ecaresnet50d_parity(self):
         self._compare("ecaresnet50d")       # ECA attn + deep/avg
 
+    def test_ecaresnet50d_pruned_parity(self):
+        # per-block widths from the pruned manifest (adapt_model_from_file)
+        self._compare("ecaresnet50d_pruned")
+
     def test_ecaresnet18_parity(self):
         self._compare("ecaresnet18")        # ECA on basic blocks
 
@@ -593,6 +597,13 @@ class TestEfficientNetParity:
     def test_cc_b1_8e_parity(self):
         # 8 experts (experts_multiplier=2) + dm 1.1 depth scaling
         self._compare("efficientnet_cc_b1_8e")
+
+    def test_b1_pruned_parity(self):
+        # manifest-re-dimensioned plan + TF SAME pad + BN eps 1e-3
+        self._compare("efficientnet_b1_pruned")
+
+    def test_b3_pruned_parity(self):
+        self._compare("efficientnet_b3_pruned")
 
     def test_cc_routing_is_per_sample(self):
         # two samples in one batch must route independently: batched

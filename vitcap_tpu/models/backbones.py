@@ -333,6 +333,13 @@ RESNETS = {
                       dict(attn="eca")),
     "ecaresnext26tn_32x4d": ((2, 2, 2, 2), "bottleneck", "tiered_narrow",
                              "avg", dict(card=32, bw=4, attn="eca")),
+    # pruned eca-resnets (resnet.py:1097-1104, :1127-1134): the 50d/101d
+    # arch with every block's widths re-dimensioned by the pruned/*.txt
+    # manifest (helpers.py adapt_model_from_string)
+    "ecaresnet50d_pruned": ((3, 4, 6, 3), "bottleneck", "deep", "avg",
+                            dict(attn="eca", pruned=True)),
+    "ecaresnet101d_pruned": ((3, 4, 23, 3), "bottleneck", "deep", "avg",
+                             dict(attn="eca", pruned=True)),
     # anti-aliased (BlurPool) resnets (resnet.py:1171-1184)
     "resnetblur18": ((2, 2, 2, 2), "basic", "7x7", "conv",
                      dict(blur=True)),
@@ -399,11 +406,18 @@ def _resnet_cfg(variant: str) -> Dict[str, Any]:
                 card=extras.get("card", 1), bw=extras.get("bw", 64),
                 attn=attn, scale=extras.get("scale", 4),
                 rf=extras.get("rf", 1), down_k=extras.get("down_k", 1),
-                blur=extras.get("blur", False))
+                blur=extras.get("blur", False),
+                pruned=extras.get("pruned", False))
 
 
 def resnet_feature_channels(variant: str, n_stages: int = 4) -> int:
-    _, block, _, _ = RESNETS[variant][:4]
+    layers, block, _, _ = RESNETS[variant][:4]
+    cfg5 = RESNETS[variant][4] if len(RESNETS[variant]) > 4 else {}
+    if isinstance(cfg5, dict) and cfg5.get("pruned"):
+        from .pruned import pruned_shapes
+        shapes = pruned_shapes(variant)
+        last = layers[n_stages - 1] - 1
+        return shapes[f"layer{n_stages}.{last}.conv3.weight"][0]
     return _PLANES[n_stages - 1] * (1 if block == "basic" else 4)
 
 
@@ -474,6 +488,10 @@ def init_resnet(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
     cfg = _resnet_cfg(variant)
     block, card, bw, rf = cfg["block"], cfg["card"], cfg["bw"], cfg["rf"]
     scale = cfg["scale"]
+    pshapes = None
+    if cfg["pruned"]:
+        from .pruned import pruned_shapes
+        pshapes = pruned_shapes(variant)
     ks = iter(jax.random.split(rng, 1024))
     if cfg["stem"] in _STEM_CHS:
         c1, c2, c3 = _STEM_CHS[cfg["stem"]]
@@ -508,6 +526,11 @@ def init_resnet(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
                 }
             elif block == "bottleneck":
                 first = mid // rf
+                if pshapes is not None:
+                    base = f"layer{si + 1}.{b}."
+                    first = pshapes[base + "conv1.weight"][0]
+                    mid = pshapes[base + "conv2.weight"][0]
+                    out = pshapes[base + "conv3.weight"][0]
                 blk = {
                     "conv1": _kaiming(next(ks), (1, 1, prev, first)),
                     "bn1": _bn_p(first),
@@ -525,7 +548,15 @@ def init_resnet(rng: jax.Array, variant: str, n_stages: int = 4) -> Params:
                     "bn2": _bn_p(out),
                 }
             if cfg["attn"]:
-                blk["se"] = _attn_p(next(ks), cfg["attn"], out)
+                if pshapes is not None and cfg["attn"] == "eca":
+                    # kernel size was fixed from the UNPRUNED widths, so
+                    # derive it from the manifest, not the formula
+                    k = pshapes[f"layer{si + 1}.{b}.se.conv.weight"][2]
+                    bound = 1.0 / np.sqrt(k)
+                    blk["se"] = {"conv": jax.random.uniform(
+                        next(ks), (k,), jnp.float32, -bound, bound)}
+                else:
+                    blk["se"] = _attn_p(next(ks), cfg["attn"], out)
             s = (1 if si == 0 else 2) if b == 0 else 1
             if b == 0 and (s != 1 or prev != out):
                 # down_kernel_size (senets: 3x3, but still 1x1 when the

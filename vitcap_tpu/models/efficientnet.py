@@ -113,7 +113,15 @@ EFFICIENTNETS = {
     "efficientnet_cc_b0_4e": (1.0, 1.0, 224, "cc4"),
     "efficientnet_cc_b0_8e": (1.0, 1.0, 224, "cc8"),
     "efficientnet_cc_b1_8e": (1.0, 1.1, 240, "cc8"),
+    # pruned b1/b2/b3 (:1206-1241): parent multipliers, channel plan
+    # re-dimensioned by the pruned/*.txt manifest; TF SAME pad + eps 1e-3
+    # (kwargs bn_eps/pad_type at :1210-1211)
+    "efficientnet_b1_pruned": (1.0, 1.1, 240, "b"),
+    "efficientnet_b2_pruned": (1.1, 1.2, 260, "b"),
+    "efficientnet_b3_pruned": (1.2, 1.4, 300, "b"),
 }
+PRUNED_EFFNETS = {"efficientnet_b1_pruned", "efficientnet_b2_pruned",
+                  "efficientnet_b3_pruned"}
 
 # The other non-tf families generated by the same builder
 # (reference efficientnet.py:818-998 _gen_mnasnet_* / _gen_mobilenet_v2 /
@@ -225,11 +233,13 @@ def resolve_variant(variant: str) -> Tuple[str, bool]:
     """-> (base arch variant, tf: SAME padding + BN eps 1e-3)."""
     if variant in TF_EFFNETS:
         return TF_EFFNETS[variant][0], True
-    return variant, False
+    return variant, variant in PRUNED_EFFNETS
 
 
 def effnet_bn_eps(variant: str) -> float:
-    return BN_EPS_TF if variant in TF_EFFNETS else 1e-5
+    if variant in TF_EFFNETS or variant in PRUNED_EFFNETS:
+        return BN_EPS_TF
+    return 1e-5
 
 
 def effnet_plan(variant: str) -> Tuple[int, List[List[dict]], int]:
@@ -301,6 +311,37 @@ def effnet_plan(variant: str) -> Tuple[int, List[List[dict]], int]:
             in_c = out
         stages.append(blocks)
     head = 1280 if lite else round_channels(1280, cm)
+    if variant in PRUNED_EFFNETS:
+        return _pruned_effnet_plan(variant, stages)
+    return stem, stages, head
+
+
+def _pruned_effnet_plan(variant, stages):
+    """Re-dimension the parent plan from the pruned shape manifest
+    (helpers.py adapt_model_from_string semantics).  Residual adds follow
+    the PARENT's stride/in==out decision — the torch module graph is
+    fixed before adaptation — so parent-noskip blocks whose pruned
+    channels happen to coincide stay skip-free."""
+    from .pruned import pruned_shapes
+    shapes = pruned_shapes(variant)
+    stem = shapes["conv_stem.weight"][0]
+    head = shapes["conv_head.weight"][0]
+    for si, blocks in enumerate(stages):
+        for bi, blk in enumerate(blocks):
+            b = f"blocks.{si}.{bi}."
+            parent_res = (blk["stride"] == 1 and blk["in"] == blk["out"]
+                          and not blk.get("noskip"))
+            if blk["type"] == "ds":
+                blk["in"] = blk["mid"] = shapes[b + "conv_dw.weight"][0]
+                blk["out"] = shapes[b + "conv_pw.weight"][0]
+            else:                                           # ir
+                blk["mid"] = shapes[b + "conv_pw.weight"][0]
+                blk["in"] = shapes[b + "conv_pw.weight"][1]
+                blk["out"] = shapes[b + "conv_pwl.weight"][0]
+            if blk["se"]:
+                blk["se"] = shapes[b + "se.conv_reduce.weight"][0]
+            if not parent_res:
+                blk["noskip"] = True
     return stem, stages, head
 
 
