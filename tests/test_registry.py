@@ -932,6 +932,62 @@ class TestVovNetParity:
                       atol=5e-2)
 
 
+class TestTResNets:
+    def test_names_and_shapes(self):
+        from vitcap_tpu.models.tresnet import (TRESNETS,
+                                               tresnet_feature_channels)
+        assert len(TRESNETS) == 6
+        for n in TRESNETS:
+            assert R.is_model(n), n
+        assert tresnet_feature_channels("tresnet_m") == 2048
+        assert tresnet_feature_channels("tresnet_l") == 76 * 32
+        assert tresnet_feature_channels("tresnet_xl") == 83 * 32
+        assert R.model_spec("tresnet_m_448").img_size == 448
+
+
+@pytest.mark.slow
+class TestTResNetParity:
+    """Golden parity vs the reference's vendored timm tresnet family:
+    SpaceToDepth stem, IABN (python BN+leaky fallback on the torch
+    side), anti-aliased stride-2, branch SE (tresnet.py:64-234)."""
+
+    def _compare(self, name, img=128):
+        from reference_harness import install
+        install()
+        import torch
+        from timm.models import tresnet as TT
+        _enable_python_iabn()
+        torch.manual_seed(0)
+        tm = getattr(TT, name)(pretrained=False, no_aa_jit=True)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name, checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, img, img, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+    def test_tresnet_m_parity(self):
+        self._compare("tresnet_m")
+
+    def test_tresnet_l_parity(self):
+        self._compare("tresnet_l")   # width factor 1.2 (planes 76)
+
+
 @pytest.mark.slow
 class TestXceptionParity:
     """Golden parity vs the reference's vendored timm xception.py:

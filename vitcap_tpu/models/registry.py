@@ -1298,6 +1298,81 @@ def load_cspnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- standalone TResNet classifiers (the reference zoo's tresnet.py:
+#    SpaceToDepth stem + IABN + anti-aliased stride-2, :236-293) --
+
+@dataclasses.dataclass(frozen=True)
+class TResNetModelSpec:
+    """Static description of a TResNet classifier."""
+    name: str
+    variant: str                   # key of tresnet.TRESNETS
+    num_classes: int = 1000
+    img_size: int = 224
+
+    @property
+    def feature_channels(self) -> int:
+        from .tresnet import tresnet_feature_channels
+        return tresnet_feature_channels(self.variant)
+
+
+def _register_tresnets():
+    from .tresnet import TRESNETS
+
+    def make_builder(vname):
+        def builder(**kw):
+            kw.setdefault("img_size", 448 if vname.endswith("_448")
+                          else 224)
+            return TResNetModelSpec(name=vname, variant=vname, **kw)
+        builder.__name__ = vname
+        return builder
+
+    for vname in TRESNETS:
+        register_model(make_builder(vname))
+
+
+_register_tresnets()
+
+
+def init_tresnet_params(rng: jax.Array, spec: TResNetModelSpec) -> Params:
+    from .tresnet import init_tresnet
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_tresnet(k_bb, spec.variant)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def tresnet_forward(params: Params, images: jnp.ndarray,
+                    spec: TResNetModelSpec, head: bool = False,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    from .tresnet import apply_tresnet
+    x = apply_tresnet(params["backbone"], images.astype(dtype),
+                      spec.variant)
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_tresnet_checkpoint(params: Params, path: str,
+                            spec: TResNetModelSpec) -> Params:
+    from .tresnet import load_tresnet
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_tresnet(params["backbone"], sd, spec.variant)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["head.fc.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["head.fc.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- standalone Inception-V3 classifiers (the reference zoo's
 #    inception_v3.py:440-467: inception_v3 / tf_ / adv_ / gluon_ weight
 #    flavors over one architecture) --
@@ -2491,6 +2566,18 @@ def create_model(name: str, pretrained: bool = False,
         def apply(params, images, head=False):
             return cspnet_forward(params, images, spec, head=head,
                                   dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
+    if isinstance(spec, TResNetModelSpec):
+        params = init_tresnet_params(rng if rng is not None
+                                     else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_tresnet_checkpoint(params, checkpoint_path,
+                                             spec)
+
+        def apply(params, images, head=False):
+            return tresnet_forward(params, images, spec, head=head,
+                                   dtype=dtype)
 
         return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, InceptionV3ModelSpec):
