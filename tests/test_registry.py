@@ -932,6 +932,43 @@ class TestVovNetParity:
                       atol=5e-2)
 
 
+@pytest.mark.slow
+class TestPNASNetParity:
+    """Golden parity vs the reference's vendored timm pnasnet.py: the
+    five-branch cells, FactorizedReduction shift path, TF SAME pads,
+    VALID conv_0 (pnasnet.py:36-347)."""
+
+    def test_pnasnet5large_parity(self):
+        from reference_harness import install
+        install()
+        import torch
+        from timm.models import pnasnet as TP
+        torch.manual_seed(0)
+        tm = TP.pnasnet5large(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model("pnasnet5large", checkpoint_path=pt)
+        # odd size exercises asymmetric SAME pads + the shift path
+        x = np.random.RandomState(0).randn(1, 131, 131, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
+
+
 class TestTResNets:
     def test_names_and_shapes(self):
         from vitcap_tpu.models.tresnet import (TRESNETS,

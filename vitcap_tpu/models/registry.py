@@ -1298,6 +1298,67 @@ def load_cspnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- PNASNet-5-Large (the reference zoo's pnasnet.py:236-347) --
+
+@dataclasses.dataclass(frozen=True)
+class PNASNetModelSpec:
+    """Static description of the PNASNet-5-Large classifier."""
+    name: str = "pnasnet5large"
+    num_classes: int = 1001        # Cadene checkpoint background class
+    img_size: int = 331
+
+    @property
+    def feature_channels(self) -> int:
+        from .pnasnet import PNASNET_FEATURES
+        return PNASNET_FEATURES
+
+
+@register_model
+def pnasnet5large(**kw):
+    kw.setdefault("img_size", 331)
+    kw.setdefault("num_classes", 1001)
+    return PNASNetModelSpec(name="pnasnet5large", **kw)
+
+
+def init_pnasnet_params(rng: jax.Array, spec: PNASNetModelSpec) -> Params:
+    from .pnasnet import init_pnasnet
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_pnasnet(k_bb)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def pnasnet_forward(params: Params, images: jnp.ndarray,
+                    spec: PNASNetModelSpec, head: bool = False,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    from .pnasnet import apply_pnasnet
+    x = apply_pnasnet(params["backbone"], images.astype(dtype))
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_pnasnet_checkpoint(params: Params, path: str,
+                            spec: PNASNetModelSpec) -> Params:
+    from .pnasnet import load_pnasnet
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_pnasnet(params["backbone"], sd)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["last_linear.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["last_linear.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- standalone TResNet classifiers (the reference zoo's tresnet.py:
 #    SpaceToDepth stem + IABN + anti-aliased stride-2, :236-293) --
 
@@ -2566,6 +2627,18 @@ def create_model(name: str, pretrained: bool = False,
         def apply(params, images, head=False):
             return cspnet_forward(params, images, spec, head=head,
                                   dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
+    if isinstance(spec, PNASNetModelSpec):
+        params = init_pnasnet_params(rng if rng is not None
+                                     else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_pnasnet_checkpoint(params, checkpoint_path,
+                                             spec)
+
+        def apply(params, images, head=False):
+            return pnasnet_forward(params, images, spec, head=head,
+                                   dtype=dtype)
 
         return VisionModel(spec=spec, params=params, apply=apply)
     if isinstance(spec, TResNetModelSpec):
