@@ -781,6 +781,24 @@ class TestDenseNets:
         assert m.apply(m.params, x, head=True).shape == (1, 5)
 
 
+@pytest.mark.slow
+class TestZooCoverage:
+    def test_every_reference_name_is_registered(self):
+        """Every @register_model name in the reference's vendored timm
+        must exist here — except the T2t performer variants, which are
+        dead code in the reference itself (token_performer.py ends
+        mid-class with no forward method, so they crash at call)."""
+        from reference_harness import install
+        install()
+        from timm.models.registry import _model_entrypoints
+        dead = {f"T2t_vit_{s}" for s in
+                ("7", "10", "12", "14", "19", "24",
+                 "14_resnext", "14_wide")}
+        missing = sorted(n for n in _model_entrypoints
+                         if not R.is_model(n) and n not in dead)
+        assert missing == [], missing
+
+
 def _enable_python_iabn():
     """The reference's InplaceAbn raises ImportError without the
     inplace_abn package (layers/inplace_abn.py:8-16); its documented
@@ -930,6 +948,43 @@ class TestVovNetParity:
         # abs is ~5e-5 relative accumulation noise
         self._compare("ese_vovnet99b_iabn", img=64, iabn=True,
                       atol=5e-2)
+
+
+@pytest.mark.slow
+class TestNASNetParity:
+    """Golden parity vs the reference's vendored timm nasnet.py:
+    stem cells, First/Normal/Reduction cells, the always-divide-by-9
+    SAME avg pools, VALID conv0 (nasnet.py:30-562)."""
+
+    def test_nasnetalarge_parity(self):
+        from reference_harness import install
+        install()
+        import torch
+        from timm.models import nasnet as TN
+        torch.manual_seed(0)
+        tm = TN.nasnetalarge(pretrained=False)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        g = torch.Generator().manual_seed(1)
+        for k in list(sd.keys()):
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+        tm.load_state_dict(sd)
+        import tempfile, os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model("nasnetalarge", checkpoint_path=pt)
+        # odd size exercises asymmetric SAME pads + the shift path
+        x = np.random.RandomState(0).randn(1, 131, 131, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=5e-4)
 
 
 @pytest.mark.slow

@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .backbones import _batch_norm, _bn_p, _bn_from, _kaiming, _v
+from .backbones import (_batch_norm, _bn_p, _bn_from, _conv, _kaiming,
+                        _v)
 from .efficientnet import _conv_sym, _dwconv, _kaiming_dw, _w_conv, _w_dw
 
 Params = Dict[str, Any]
@@ -127,8 +128,8 @@ def _cell_forward(p, x_left, x_right, stride):
 def apply_pnasnet(p: Params, images: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, 3) -> (B, H/32-ish, W/32-ish, 4320) post-relu feature
     map (forward_features, pnasnet.py:295-312)."""
-    x = _conv_sym(images, p["conv_0"]["conv"], 2)       # VALID 3x3/2
-    x = _bn(x, p["conv_0"]["bn"])
+    x = _bn(_conv(images, p["conv_0"]["conv"], 2, "VALID"),
+            p["conv_0"]["bn"])                     # true VALID 3x3/2
     s0 = p["cell_stem_0"]
     x_right = _act_conv_bn(x, s0["conv_1x1"])
     states = [x, _cell_forward(s0, x, x_right, 2)]

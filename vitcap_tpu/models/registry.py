@@ -1298,6 +1298,67 @@ def load_cspnet_checkpoint(params: Params, path: str,
     return out
 
 
+# -- NASNet-A-Large (the reference zoo's nasnet.py:405-562) --
+
+@dataclasses.dataclass(frozen=True)
+class NASNetModelSpec:
+    """Static description of the NASNet-A-Large classifier."""
+    name: str = "nasnetalarge"
+    num_classes: int = 1001        # Cadene checkpoint background class
+    img_size: int = 331
+
+    @property
+    def feature_channels(self) -> int:
+        from .nasnet import NASNET_FEATURES
+        return NASNET_FEATURES
+
+
+@register_model
+def nasnetalarge(**kw):
+    kw.setdefault("img_size", 331)
+    kw.setdefault("num_classes", 1001)
+    return NASNetModelSpec(name="nasnetalarge", **kw)
+
+
+def init_nasnet_params(rng: jax.Array, spec: NASNetModelSpec) -> Params:
+    from .nasnet import init_nasnet
+    from .vitcap import _dense_init
+    k_bb, k_head = jax.random.split(rng)
+    params = {"backbone": init_nasnet(k_bb)}
+    if spec.num_classes:
+        params["head"] = _dense_init(k_head, spec.feature_channels,
+                                     spec.num_classes)
+    return params
+
+
+def nasnet_forward(params: Params, images: jnp.ndarray,
+                   spec: NASNetModelSpec, head: bool = False,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    from .nasnet import apply_nasnet
+    x = apply_nasnet(params["backbone"], images.astype(dtype))
+    if not head:
+        return x
+    pooled = jnp.mean(x, axis=(1, 2))
+    return dense(params["head"], pooled)
+
+
+def load_nasnet_checkpoint(params: Params, path: str,
+                           spec: NASNetModelSpec) -> Params:
+    from .nasnet import load_nasnet
+    from ..solver.checkpoint_bridge import load_torch_state_dict
+    import numpy as np
+    sd = load_torch_state_dict(path)
+    out = {"backbone": load_nasnet(params["backbone"], sd)}
+    if "head" in params:
+        out["head"] = {
+            "kernel": jnp.asarray(
+                np.asarray(sd["last_linear.weight"]).T, jnp.float32),
+            "bias": jnp.asarray(np.asarray(sd["last_linear.bias"]),
+                                jnp.float32),
+        }
+    return out
+
+
 # -- PNASNet-5-Large (the reference zoo's pnasnet.py:236-347) --
 
 @dataclasses.dataclass(frozen=True)
@@ -2626,6 +2687,17 @@ def create_model(name: str, pretrained: bool = False,
 
         def apply(params, images, head=False):
             return cspnet_forward(params, images, spec, head=head,
+                                  dtype=dtype)
+
+        return VisionModel(spec=spec, params=params, apply=apply)
+    if isinstance(spec, NASNetModelSpec):
+        params = init_nasnet_params(rng if rng is not None
+                                    else jax.random.PRNGKey(0), spec)
+        if checkpoint_path:
+            params = load_nasnet_checkpoint(params, checkpoint_path, spec)
+
+        def apply(params, images, head=False):
+            return nasnet_forward(params, images, spec, head=head,
                                   dtype=dtype)
 
         return VisionModel(spec=spec, params=params, apply=apply)
