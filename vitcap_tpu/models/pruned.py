@@ -1,12 +1,14 @@
-"""Pruned-variant shape manifests (the reference zoo's
-pytorch_image_models/timm/models/pruned/*.txt, consumed by
+"""Pruned-variant shape manifests (derived from the reference zoo's
+pytorch_image_models/timm/models/pruned/*.txt, consumed there by
 helpers.py:361-418 `adapt_model_from_string`).
 
-Each manifest is a `key:[shape]***key:[shape]` state-dict shape map that
-re-dimensions every conv/bn of a parent architecture (the pruning method
-of arxiv 2002.08258).  The .txt files under assets/pruned/ are verbatim
-DATA copies of the reference manifests — the channel widths ARE the
-architecture definition, exactly like the CBS blacklist tables.
+Each reference manifest is a `key:[shape]***...` state-dict shape map
+that re-dimensions every conv/bn of a parent architecture (the pruning
+method of arxiv 2002.08258).  assets/pruned/*.json hold the DERIVED
+subset this package actually consumes — only the conv/SE weight shapes,
+re-encoded as JSON (the channel widths are the architecture definition,
+like the CBS blacklist tables; bn/num_batches entries are redundant
+with the conv dims and dropped).
 
 The plan builders (efficientnet.effnet_plan, backbones.init_resnet)
 consume these shapes to re-dimension their per-block channel plans; the
@@ -15,6 +17,7 @@ torch state-dict loaders need nothing special (they are shape-driven).
 
 from __future__ import annotations
 
+import json
 import os.path as op
 from functools import lru_cache
 from typing import Dict, List
@@ -31,14 +34,6 @@ PRUNED_VARIANTS = (
 
 @lru_cache(maxsize=None)
 def pruned_shapes(variant: str) -> Dict[str, List[int]]:
-    """Parse `key:[d0, d1, ...]***...` into {state-dict key: shape}
-    (helpers.py:362-370 split semantics; empty shape lists — the
-    num_batches_tracked scalars — are dropped)."""
-    out: Dict[str, List[int]] = {}
-    with open(op.join(_DIR, variant + ".txt")) as f:
-        for item in f.read().split("***"):
-            key, shape = item.split(":")
-            shape = shape.strip()[1:-1]
-            if shape:
-                out[key] = [int(x) for x in shape.split(",")]
-    return out
+    """{torch state-dict key: weight shape} for the pruned variant."""
+    with open(op.join(_DIR, variant + ".json")) as f:
+        return json.load(f)
