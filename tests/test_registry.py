@@ -785,17 +785,15 @@ class TestDenseNets:
 class TestZooCoverage:
     def test_every_reference_name_is_registered(self):
         """Every @register_model name in the reference's vendored timm
-        must exist here — except the T2t performer variants, which are
-        dead code in the reference itself (token_performer.py ends
-        mid-class with no forward method, so they crash at call)."""
+        must exist here — 404/404, including the T2t performer variants
+        (dead code in the reference itself: token_performer.py ends
+        mid-class with no forward method; ours work, implemented per the
+        published upstream architecture)."""
         from reference_harness import install
         install()
         from timm.models.registry import _model_entrypoints
-        dead = {f"T2t_vit_{s}" for s in
-                ("7", "10", "12", "14", "19", "24",
-                 "14_resnext", "14_wide")}
         missing = sorted(n for n in _model_entrypoints
-                         if not R.is_model(n) and n not in dead)
+                         if not R.is_model(n))
         assert missing == [], missing
 
 
@@ -1641,6 +1639,105 @@ class TestT2tVitParity:
 
     def test_t2t_vit_t_19_parity(self):
         self._compare("T2t_vit_t_19")
+
+
+@pytest.mark.slow
+class TestT2tPerformerParity:
+    """Performer-tokenized T2T-ViT variants.  The vendored
+    token_performer.py is truncated (the class ends at '# updating' with
+    no forward) AND its surviving __init__ cannot consume the widths the
+    vendored call sites pass (t2t_vit.py:67-68), so these 8 registry
+    names are dead code in the reference.  To still golden-test our
+    implementation we reconstruct the PUBLISHED upstream Token_performer
+    in torch (whose state-dict shapes the official pretrained
+    checkpoints follow, adapted to the vendored swapped (dim, in_dim)
+    call convention), patch it into the vendored package, and compare."""
+
+    def _install_performer(self):
+        from reference_harness import install
+        install()
+        import importlib
+        import math
+        import torch
+        import torch.nn as nn
+        TP = importlib.import_module("timm.models.t2t_vit.token_performer")
+        TT = importlib.import_module("timm.models.t2t_vit.t2t_vit")
+
+        class Token_performer(nn.Module):
+            # (dim, in_dim) follow the VENDORED call sites: dim is the
+            # output token width (64), in_dim the input token width.
+            def __init__(self, dim, in_dim, head_cnt=1, kernel_ratio=0.5,
+                         dp1=0.1, dp2=0.1):
+                super().__init__()
+                emb = dim * head_cnt
+                self.emb = emb
+                self.kqv = nn.Linear(in_dim, 3 * emb)
+                self.dp = nn.Dropout(dp1)
+                self.proj = nn.Linear(emb, emb)
+                self.norm1 = nn.LayerNorm(in_dim)
+                self.norm2 = nn.LayerNorm(emb)
+                self.epsilon = 1e-8
+                self.mlp = nn.Sequential(
+                    nn.Linear(emb, emb), nn.GELU(),
+                    nn.Linear(emb, emb), nn.Dropout(dp2))
+                self.m = int(emb * kernel_ratio)
+                self.w = nn.Parameter(
+                    nn.init.orthogonal_(torch.randn(self.m, emb))
+                    * math.sqrt(self.m), requires_grad=False)
+
+            def prm_exp(self, x):
+                # exp(w^T x - |x|^2/2) / sqrt(m): positive random
+                # features for the softmax kernel
+                xd = (x * x).sum(dim=-1, keepdim=True) \
+                    .repeat(1, 1, self.m) / 2
+                wtx = torch.einsum("bti,mi->btm", x.float(), self.w)
+                return torch.exp(wtx - xd) / math.sqrt(self.m)
+
+            def single_attn(self, x):
+                k, q, v = torch.split(self.kqv(x), self.emb, dim=-1)
+                kp, qp = self.prm_exp(k), self.prm_exp(q)
+                D = torch.einsum("bti,bi->bt", qp,
+                                 kp.sum(dim=1)).unsqueeze(dim=2)
+                kptv = torch.einsum("bin,bim->bnm", v.float(), kp)
+                y = torch.einsum("bti,bni->btn", qp, kptv) \
+                    / (D.repeat(1, 1, self.emb) + self.epsilon)
+                return v + self.dp(self.proj(y))
+
+            def forward(self, x):
+                x = self.single_attn(self.norm1(x))
+                return x + self.mlp(self.norm2(x))
+
+        TP.Token_performer = Token_performer
+        TT.Token_performer = Token_performer
+        return TT
+
+    def _compare(self, name):
+        import torch
+        TT = self._install_performer()
+        torch.manual_seed(0)
+        embed = {"T2t_vit_7": 256, "T2t_vit_14_wide": 768}[name]
+        tm = getattr(TT, name)(pretrained=False, qk_scale=embed ** -0.5)
+        tm.eval()
+        sd = dict(tm.state_dict())
+        import tempfile
+        import os.path as op
+        with tempfile.TemporaryDirectory() as d:
+            pt = op.join(d, "m.pt")
+            torch.save(sd, pt)
+            m = R.create_model(name.lower(), checkpoint_path=pt)
+        x = np.random.RandomState(0).randn(1, 224, 224, 3) \
+            .astype(np.float32) * 0.5
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_t2t_vit_7_parity(self):
+        self._compare("T2t_vit_7")
+
+    def test_t2t_vit_14_wide_parity(self):
+        self._compare("T2t_vit_14_wide")
 
 
 @pytest.mark.slow

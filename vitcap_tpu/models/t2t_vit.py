@@ -1,13 +1,27 @@
 """T2T-ViT (the reference zoo's vendored t2t_vit package,
 t2t_vit/t2t_vit.py:44-200 + token_transformer.py + transformer_block.py).
 
-Only the `transformer`-tokenization variants (T2t_vit_t_14/19/24) are
-implemented: the vendored token_performer.py is TRUNCATED in the reference
-(no forward method, t2t_vit/token_performer.py ends mid-class at
-'# updating'), so every performer-tokenized variant (T2t_vit_7/10/12/14/
-19/24/_resnext/_wide) crashes at forward in the reference itself — dead
-code per SURVEY §2.7, not replicated.  The dense/ghost/se sub-files are
-likewise never imported (t2t_vit/__init__.py comments out all imports).
+Both tokenization families are implemented:
+
+- `transformer` variants (T2t_vit_t_14/19/24): straight from the vendored
+  token_transformer.py.
+- `performer` variants (T2t_vit_7/10/12/14/19/24/14_resnext/14_wide): the
+  vendored token_performer.py is TRUNCATED (the class ends mid-definition
+  at '# updating' with no forward method) AND its surviving __init__
+  disagrees with the vendored call sites (t2t_vit.py:67 passes
+  dim=token_dim, in_dim=in_chans*7*7 while the truncated kqv layer maps
+  dim->3*dim, which cannot consume the 147-wide unfold tokens) — the
+  reference crashes if these models are instantiated.  We implement the
+  PUBLISHED upstream Token_performer semantics (the yitu-opensource
+  T2T-ViT release, whose state-dict shapes the pretrained checkpoints
+  follow): emb = token_dim, kqv Linear(in_width, 3*emb), positive
+  random-feature kernel attention exp(w^T x - |x|^2/2)/sqrt(m) with a
+  frozen orthogonal projection w (m = emb/2), v-residual skip, then an
+  emb->emb MLP residual.  This goes beyond the reference (which is dead
+  code per SURVEY §2.7) so its registry names resolve to working models.
+
+The dense/ghost/se sub-files are never imported
+(t2t_vit/__init__.py comments out all imports) and stay unimplemented.
 
 Functional NHWC->tokens, eval semantics:
 
@@ -33,11 +47,20 @@ import numpy as np
 
 Params = Dict[str, Any]
 
-# name -> (embed_dim, depth, num_heads, mlp_ratio)
+# name -> (embed_dim, depth, num_heads, mlp_ratio, tokens_type)
+# configs: t2t_vit.py:180-298 @register_model entries
 T2T_VITS = {
-    "t2t_vit_t_14": (384, 14, 6, 3.0),
-    "t2t_vit_t_19": (448, 19, 7, 3.0),
-    "t2t_vit_t_24": (512, 24, 8, 3.0),
+    "t2t_vit_t_14": (384, 14, 6, 3.0, "transformer"),
+    "t2t_vit_t_19": (448, 19, 7, 3.0, "transformer"),
+    "t2t_vit_t_24": (512, 24, 8, 3.0, "transformer"),
+    "t2t_vit_7": (256, 7, 4, 2.0, "performer"),
+    "t2t_vit_10": (256, 10, 4, 2.0, "performer"),
+    "t2t_vit_12": (256, 12, 4, 2.0, "performer"),
+    "t2t_vit_14": (384, 14, 6, 3.0, "performer"),
+    "t2t_vit_19": (448, 19, 7, 3.0, "performer"),
+    "t2t_vit_24": (512, 24, 8, 3.0, "performer"),
+    "t2t_vit_14_resnext": (384, 14, 32, 3.0, "performer"),
+    "t2t_vit_14_wide": (768, 4, 12, 3.0, "performer"),
 }
 TOKEN_DIM = 64
 
@@ -97,17 +120,48 @@ def _token_transformer(x, p, dim, in_dim):
     return x
 
 
+def _token_performer(x, p, eps=1e-8):
+    """Published upstream Token_performer (see module docstring — the
+    vendored copy is truncated).  Positive-random-feature kernel
+    attention: SM(q,k) ~= E_w[exp(w^T q - |q|^2/2) exp(w^T k - |k|^2/2)],
+    so attn(q,k,v) = qp (kp^T v) / (qp kp^T 1); frozen orthogonal w."""
+    y = _ln(x, p["norm1"])
+    kqv = _lin(y, p["kqv"])                 # note the reference's k,q,v
+    k, q, v = jnp.split(kqv, 3, axis=-1)    # split ORDER (not q,k,v)
+    m = p["w"].shape[0]
+
+    def prm_exp(u):
+        xd = (u * u).sum(-1, keepdims=True) / 2
+        return jnp.exp(u @ p["w"].T - xd) / np.sqrt(m)
+
+    kp, qp = prm_exp(k), prm_exp(q)         # (B, T, m)
+    D = jnp.einsum("btm,bm->bt", qp, kp.sum(axis=1))[..., None]
+    kptv = jnp.einsum("btn,btm->bnm", v, kp)      # (B, emb, m)
+    y2 = jnp.einsum("btm,bnm->btn", qp, kptv) / (D + eps)
+    y2 = v + _lin(y2, p["proj"])            # v skip, as token_transformer
+    h = _ln(y2, p["norm2"])
+    h = jax.nn.gelu(_lin(h, p["mlp1"]), approximate=False)
+    return y2 + _lin(h, p["mlp2"])
+
+
 def apply_t2t_vit(p: Params, images: jnp.ndarray, variant: str,
                   qk_scale: float = 0.0) -> jnp.ndarray:
     """(B, H, W, 3) -> (B, 1+N, D) post-norm token sequence (CLS first;
     the reference forward_features returns x[:, 0], t2t_vit.py:155-170)."""
-    embed, depth, heads, mlp_ratio = T2T_VITS[variant]
+    embed, depth, heads, mlp_ratio, ttype = T2T_VITS[variant]
+    tok = (_token_performer if ttype == "performer" else None)
     x, h, w = _unfold(images, 7, 4, 2)
-    x = _token_transformer(x, p["attention1"], 3 * 7 * 7, TOKEN_DIM)
+    if tok is None:
+        x = _token_transformer(x, p["attention1"], 3 * 7 * 7, TOKEN_DIM)
+    else:
+        x = tok(x, p["attention1"])
     B, N, C = x.shape
     x = x.reshape(B, h, w, C)
     x, h, w = _unfold(x, 3, 2, 1)
-    x = _token_transformer(x, p["attention2"], TOKEN_DIM * 9, TOKEN_DIM)
+    if tok is None:
+        x = _token_transformer(x, p["attention2"], TOKEN_DIM * 9, TOKEN_DIM)
+    else:
+        x = tok(x, p["attention2"])
     x = x.reshape(B, h, w, TOKEN_DIM)
     x, h, w = _unfold(x, 3, 2, 1)
     x = _lin(x, p["project"])
@@ -149,9 +203,31 @@ def _tt_init(ks, dim, in_dim, mlp_hidden):
             "fc2": lin(mlp_hidden, in_dim)}
 
 
+def _tp_init(ks, dim, emb, kernel_ratio=0.5):
+    """Performer tokenizer params: dim = input token width, emb = out."""
+    def nrm(c):
+        return {"scale": jnp.ones((c,), jnp.float32),
+                "bias": jnp.zeros((c,), jnp.float32)}
+
+    def lin(cin, cout):
+        return {"w": jax.random.truncated_normal(
+            next(ks), -2.0, 2.0, (cin, cout), jnp.float32) * 0.02,
+            "b": jnp.zeros((cout,), jnp.float32)}
+
+    m = int(emb * kernel_ratio)
+    w = jax.nn.initializers.orthogonal()(next(ks), (m, emb), jnp.float32)
+    return {"norm1": nrm(dim),
+            "kqv": lin(dim, 3 * emb),
+            "proj": lin(emb, emb),
+            "norm2": nrm(emb),
+            "mlp1": lin(emb, emb),
+            "mlp2": lin(emb, emb),
+            "w": w * np.sqrt(m)}            # frozen random features
+
+
 def init_t2t_vit(rng: jax.Array, variant: str) -> Params:
-    embed, depth, heads, mlp_ratio = T2T_VITS[variant]
-    ks = iter(jax.random.split(rng, 16 + 8 * depth))
+    embed, depth, heads, mlp_ratio, ttype = T2T_VITS[variant]
+    ks = iter(jax.random.split(rng, 20 + 8 * depth))
 
     def nrm(c):
         return {"scale": jnp.ones((c,), jnp.float32),
@@ -164,9 +240,15 @@ def init_t2t_vit(rng: jax.Array, variant: str) -> Params:
             p["b"] = jnp.zeros((cout,), jnp.float32)
         return p
 
+    if ttype == "performer":
+        att1 = _tp_init(ks, 3 * 49, TOKEN_DIM)
+        att2 = _tp_init(ks, TOKEN_DIM * 9, TOKEN_DIM)
+    else:
+        att1 = _tt_init(ks, 3 * 49, TOKEN_DIM, TOKEN_DIM)
+        att2 = _tt_init(ks, TOKEN_DIM * 9, TOKEN_DIM, TOKEN_DIM)
     p: Params = {
-        "attention1": _tt_init(ks, 3 * 49, TOKEN_DIM, TOKEN_DIM),
-        "attention2": _tt_init(ks, TOKEN_DIM * 9, TOKEN_DIM, TOKEN_DIM),
+        "attention1": att1,
+        "attention2": att2,
         "project": lin(TOKEN_DIM * 9, embed),
         "cls_token": jax.random.truncated_normal(
             next(ks), -2.0, 2.0, (1, 1, embed), jnp.float32) * 0.02,
@@ -212,12 +294,30 @@ def _tt_from(sd, base):
                     "b": _v(sd, base + ".mlp.fc2.bias")}}
 
 
+def _tp_from(sd, base):
+    """Performer tokenizer state-dict keys (published naming:
+    norm1/kqv/proj/norm2/mlp.0/mlp.2/w)."""
+    return {"norm1": _nrm_from(sd, base + ".norm1"),
+            "kqv": {"w": _w_lin(sd, base + ".kqv.weight"),
+                    "b": _v(sd, base + ".kqv.bias")},
+            "proj": {"w": _w_lin(sd, base + ".proj.weight"),
+                     "b": _v(sd, base + ".proj.bias")},
+            "norm2": _nrm_from(sd, base + ".norm2"),
+            "mlp1": {"w": _w_lin(sd, base + ".mlp.0.weight"),
+                     "b": _v(sd, base + ".mlp.0.bias")},
+            "mlp2": {"w": _w_lin(sd, base + ".mlp.2.weight"),
+                     "b": _v(sd, base + ".mlp.2.bias")},
+            "w": _v(sd, base + ".w")}
+
+
 def load_t2t_vit(params: Params, sd: Dict[str, Any], variant: str,
                  prefix: str = "") -> Params:
     """Load the reference T2T-ViT torch state-dict."""
+    tok_from = (_tp_from if T2T_VITS[variant][4] == "performer"
+                else _tt_from)
     p: Params = {
-        "attention1": _tt_from(sd, prefix + "tokens_to_token.attention1"),
-        "attention2": _tt_from(sd, prefix + "tokens_to_token.attention2"),
+        "attention1": tok_from(sd, prefix + "tokens_to_token.attention1"),
+        "attention2": tok_from(sd, prefix + "tokens_to_token.attention2"),
         "project": {
             "w": _w_lin(sd, prefix + "tokens_to_token.project.weight"),
             "b": _v(sd, prefix + "tokens_to_token.project.bias")},
