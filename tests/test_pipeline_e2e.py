@@ -372,7 +372,8 @@ def test_predict_speed_breakdown(workdir):
     with open(f + ".speed.yaml") as fh:
         info = yaml.safe_load(fh)
     mt = info["module_time"]
-    for k in ("vision_tags_prefill_ms", "decode_scan_ms",
+    for k in ("vision_tags_ms", "vision_per_block_ms", "prefill_ms",
+              "decode_scan_ms", "decode_per_step_ms",
               "full_generate_ms", "device_caps_per_s"):
         assert k in mt, (k, mt)
-    assert mt["full_generate_ms"] >= mt["vision_tags_prefill_ms"] > 0
+    assert mt["full_generate_ms"] >= mt["vision_tags_ms"] > 0

@@ -861,7 +861,9 @@ class CaptionUniPipeline(UniPipeline):
         import jax
         from functools import partial
         from ..models import decode as D
+        from ..models import vitcap as M
 
+        enc_fn = jax.jit(partial(M.encode_images, cfg=cfg))
         ctx_fn = jax.jit(partial(D.build_decode_context, cfg=cfg,
                                  opts=opts))
         full = self._predict_jit[1]
@@ -876,6 +878,8 @@ class CaptionUniPipeline(UniPipeline):
             return (time.perf_counter() - t0) / iters
 
         rng = jax.random.PRNGKey(0)
+        t_enc = timeit(lambda: enc_fn(params, images),
+                       lambda o: o["tag_logits"])
         t_ctx = timeit(lambda: ctx_fn(params, images, od_ids, tt_od,
                                       seq_len),
                        lambda o: o["tag_logits"])
@@ -883,10 +887,18 @@ class CaptionUniPipeline(UniPipeline):
                                      seq_len, rng),
                         lambda o: o[0])
         B = int(images.shape[0])
+        n_blocks = int(cfg.num_hidden_layers) + int(cfg.split_blocks)
         self.speed_info = {
             "batch_size": B,
-            "vision_tags_prefill_ms": round(t_ctx * 1e3, 3),
+            # vision trunk + tag branch + tag logits (encode_images)
+            "vision_tags_ms": round(t_enc * 1e3, 3),
+            "vision_per_block_ms": round(t_enc * 1e3 / max(n_blocks, 1), 3),
+            # tag select + text embed + decoder K/V prefill
+            "prefill_ms": round(max(t_ctx - t_enc, 0.0) * 1e3, 3),
             "decode_scan_ms": round(max(t_full - t_ctx, 0.0) * 1e3, 3),
+            "decode_per_step_ms": round(
+                max(t_full - t_ctx, 0.0) * 1e3
+                / max(int(cfg.max_seq_a_len) - 1, 1), 3),
             "full_generate_ms": round(t_full * 1e3, 3),
             "device_caps_per_s": round(B / t_full, 2),
         }
