@@ -103,6 +103,11 @@ class CaptionServer:
         The image must already be model-sized (cfg.img_size); raw-bytes
         decode/resize belongs to the caller's preprocessing workers (see
         data/native_image.py) so the batcher thread never blocks on IO.
+        Submit uint8 (raw resized RGB bytes, the recommended production
+        feed) and normalization folds into the patch projection on device
+        with 4x less host->device traffic; float inputs must already be
+        (x/255 - mean)/std normalized.  Keep the dtype consistent across
+        requests — each dtype compiles its own program.
         """
         if self._closed.is_set():
             raise RuntimeError("CaptionServer is closed")
@@ -171,8 +176,10 @@ class CaptionServer:
         if n < B:                            # pad by repeating the last
             pad = np.repeat(images[-1:], B - n, axis=0)
             images = np.concatenate([images, pad], axis=0)
-        self._rng, sub = jax.random.split(self._rng)
-        ids, lp = self._run(self._params, images.astype(np.float32),
+        if images.dtype != np.uint8:     # uint8 feeds stay uint8: the
+            images = images.astype(np.float32)  # normalization folds into
+        self._rng, sub = jax.random.split(self._rng)  # patch_embed (4x less
+        ids, lp = self._run(self._params, images,     # host->device bytes)
                             self._od_ids, self._seq_len, sub)
         self.n_batches += 1
         self._fill_sum += n
