@@ -239,6 +239,25 @@ def test_spice_scores_order_quality():
     assert s_same >= s_good
 
 
+def test_spice_synonym_matching():
+    # jar SPICE matches tuples whose lemmas share a WordNet synset; our
+    # stand-in synset table is the METEOR synonym groups (dog~puppy,
+    # couch~sofa per evals/data/meteor_synonyms.txt).
+    from vitcap_tpu.evals.spice import spice
+    gts = {"k": ["a dog sleeping on a couch"]}
+    syn = {"k": ["a puppy sleeping on a sofa"]}
+    unrelated = {"k": ["a horse sleeping on a table"]}
+    s_syn, _ = spice(gts, syn)
+    s_unrel, _ = spice(gts, unrelated)
+    s_same, _ = spice(gts, {"k": [gts["k"][0]]})
+    assert s_syn == s_same          # full credit through the synonym stage
+    assert s_unrel < s_syn
+    # stems still match across inflection without the synonym table
+    s_plural, _ = spice({"k": ["two dogs on a couch"]},
+                        {"k": ["two dog on a couch"]})
+    assert s_plural == 1.0
+
+
 def test_spice_in_report():
     out = compute_all_metrics(GTS, RES)
     assert "SPICE" in out and 0.0 <= out["SPICE"] <= 1.0

@@ -62,7 +62,8 @@ def evaluate_on_coco_caption(predict_tsv: str, gt_file: str,
     result = dict(compute_all_metrics(gts_tok, res_tok), _impl={
         "METEOR": "native meteor-1.5 (exact/stem/compact-synonym/"
                   "paraphrase-hook; not WordNet-complete)",
-        "SPICE": "SPICE-lite (rule-based scene-graph tuple F1)"})
+        "SPICE": "SPICE-lite (rule-based scene-graph tuple F1, "
+                 "stem+compact-synonym matching; not WordNet-complete)"})
     outfile = outfile or op.splitext(predict_tsv)[0] + ".report"
     with open(outfile, "w") as fp:
         json.dump(result, fp, indent=2)

@@ -11,9 +11,17 @@ references, with lemma-level matching.
 This module reimplements that *semantic-tuple F1* without a dependency
 parser: a compact rule-based POS tagger (closed-class lexicon + suffix
 heuristics, captions are syntactically simple) feeds an NP-chunker and
-pattern-based relation extractor, and tuples match on Porter stems.  It
-tracks Java SPICE's ranking behavior, not its absolute values — reported as
-`SPICE` in .report files with this caveat documented (see coco_eval.py).
+pattern-based relation extractor.  Tuple matching mirrors Java SPICE's
+two-stage test: slots match on equal lemmas (Porter stems) OR on shared
+WordNet-synset membership — here the synset table is the curated synonym
+groups shipped for METEOR (evals/data/meteor_synonyms.txt; full WordNet is
+not in this image, so synonym coverage lower-bounds the jar).  Precision
+counts candidate tuples with any matching reference tuple, recall counts
+reference tuples with any matching candidate tuple — the jar's binary
+matching semantics, which differ from plain set intersection once synonyms
+participate.  It tracks Java SPICE's ranking behavior, not its absolute
+values — reported as `SPICE` in .report files with this caveat documented
+(see coco_eval.py).
 """
 
 from __future__ import annotations
@@ -141,22 +149,19 @@ def _chunk_nps(tagged: List[Tuple[str, str]]
     return nps
 
 
-def extract_tuples(tokens: Sequence[str]) -> Set[Tuple[str, ...]]:
+def extract_tuples_surface(tokens: Sequence[str]) -> Set[Tuple[str, ...]]:
     """Scene-graph tuples of a tokenized caption: {(obj), (obj, attr),
-    (subj, pred, obj)} over Porter stems."""
-    from .meteor import _ensure_stemmer, _stem
-    _ensure_stemmer()
+    (subj, pred, obj)} over lowercased surface words (multiword predicates
+    space-joined).  Surface form is kept so the scorer can consult the
+    synonym table, which is keyed on words, not stems."""
     tagged = _tag(list(tokens))
     nps = _chunk_nps(tagged)
     tuples: Set[Tuple[str, ...]] = set()
 
-    def stem(w: str) -> str:
-        return _stem(w)
-
     for _, _, head, attrs in nps:
-        tuples.add((stem(head),))
+        tuples.add((head,))
         for a in attrs:
-            tuples.add((stem(head), stem(a)))
+            tuples.add((head, a))
 
     # relations between consecutive NPs: NP (AUX)? (VB)? (IN)? NP
     for a, b in zip(nps, nps[1:]):
@@ -167,31 +172,83 @@ def extract_tuples(tokens: Sequence[str]) -> Set[Tuple[str, ...]]:
             continue                       # something else intervenes
         if not words:
             continue
-        pred = " ".join(stem(w) for w in words[:2])
-        tuples.add((stem(a[2]), pred, stem(b[2])))
+        tuples.add((a[2], " ".join(words[:2]), b[2]))
     return tuples
+
+
+def extract_tuples(tokens: Sequence[str]) -> Set[Tuple[str, ...]]:
+    """Scene-graph tuples over Porter stems (stable public surface; the
+    scorer itself uses the surface-word tuples plus stem/synonym matching)."""
+    from .meteor import _ensure_stemmer, _stem
+    _ensure_stemmer()
+
+    def stem_slot(s: str) -> str:
+        return " ".join(_stem(w) for w in s.split())
+
+    return {tuple(stem_slot(s) for s in t)
+            for t in extract_tuples_surface(tokens)}
 
 
 # ---------------------------------------------------------------------------
 # scoring
 # ---------------------------------------------------------------------------
 
+def _slot_match(a: str, b: str, syn: Dict[str, int]) -> bool:
+    """One tuple slot matches: equal stems, or every aligned word pair is
+    stem-equal or shares a synonym group (jar SPICE's synset test)."""
+    from .meteor import _stem
+    if a == b:
+        return True
+    aw, bw = a.split(), b.split()
+    if len(aw) != len(bw):
+        return False
+    for x, y in zip(aw, bw):
+        if x == y or _stem(x) == _stem(y):
+            continue
+        gx = syn.get(x)
+        if gx is not None and gx == syn.get(y):
+            continue
+        return False
+    return True
+
+
+def _tuple_match(c: Tuple[str, ...], r: Tuple[str, ...],
+                 syn: Dict[str, int]) -> bool:
+    return len(c) == len(r) and all(
+        _slot_match(a, b, syn) for a, b in zip(c, r))
+
+
 def spice(gts: Dict[str, List[str]], res: Dict[str, List[str]]
           ) -> Tuple[float, np.ndarray]:
     """Mean per-image tuple F1 (SPICE-lite).  gts/res: key -> [sentences]
-    (PTB-tokenized strings, same surface as the other metrics)."""
+    (PTB-tokenized strings, same surface as the other metrics).
+
+    Matching is binary and synonym-aware: precision = fraction of candidate
+    tuples with a matching reference tuple, recall = fraction of reference
+    tuples with a matching candidate tuple (utils_caption_evaluate.py's
+    COCOEvalCap SPICE semantics, with the METEOR synonym table standing in
+    for WordNet synsets)."""
+    from .meteor import _ensure_stemmer, _synonym_groups
+    _ensure_stemmer()
+    syn = _synonym_groups()
     scores = []
     for k in gts:
-        cand = extract_tuples(res[k][0].split())
+        cand = extract_tuples_surface(res[k][0].split())
         ref: Set[Tuple[str, ...]] = set()
         for r in gts[k]:
-            ref |= extract_tuples(r.split())
+            ref |= extract_tuples_surface(r.split())
         if not cand or not ref:
             scores.append(0.0)
             continue
-        matched = len(cand & ref)
-        p = matched / len(cand)
-        r = matched / len(ref)
+        exact = cand & ref                 # fast path for the common case
+        c_extra = cand - exact
+        r_extra = ref - exact
+        c_hit = len(exact) + sum(        # non-exact cands may still stem/syn
+            any(_tuple_match(c, r, syn) for r in ref) for c in c_extra)
+        r_hit = len(exact) + sum(        # -match an exactly-matched tuple
+            any(_tuple_match(r, c, syn) for c in cand) for r in r_extra)
+        p = c_hit / len(cand)
+        r = r_hit / len(ref)
         scores.append(0.0 if p + r == 0 else 2 * p * r / (p + r))
     arr = np.array(scores)
     return float(np.mean(arr)) if len(arr) else 0.0, arr
