@@ -258,6 +258,16 @@ def test_spice_synonym_matching():
     assert s_plural == 1.0
 
 
+def test_spice_synonym_inflected_fallback():
+    # the synonym table is keyed on base forms; inflected candidates must
+    # reach it through the Porter-stem index (jar lemmatizes before the
+    # synset lookup) — 'dogs'/'puppies' and 'couches'/'sofas' match.
+    from vitcap_tpu.evals.spice import spice
+    s, _ = spice({"k": ["dogs sleeping on couches"]},
+                 {"k": ["puppies sleeping on sofas"]})
+    assert s == 1.0
+
+
 def test_spice_in_report():
     out = compute_all_metrics(GTS, RES)
     assert "SPICE" in out and 0.0 <= out["SPICE"] <= 1.0

@@ -128,6 +128,50 @@ def test_eval_multi_after_train(workdir):
     assert results and results[0] is not None
 
 
+def test_eval_released_pt_checkpoint(workdir):
+    """PARITY_RUNBOOK workflow: a reference-named torch `.pt` dropped into
+    a fresh expid's snapshot dir as model_iter_*.pt is picked up by
+    get_checkpoint_file's fallback and evaluated through the bridge —
+    predictions must equal the native-checkpoint run's."""
+    import run as R
+    import torch
+    from vitcap_tpu.solver.checkpointing import load_state
+    from vitcap_tpu.solver.checkpoint_bridge import params_to_torch_state_dict
+
+    # export the e2e-trained tiny model as a torch state dict
+    pip0 = R.create_pipeline(
+        {**_param(workdir), "test_data": "tinycoco", "test_split": "test"})
+    state = load_state(pip0.get_checkpoint_file())
+    params = state["params"] if "params" in state else state
+    sd = {k: torch.from_numpy(np.array(v)) for k, v in
+          params_to_torch_state_dict(params).items()}
+
+    param = _param(workdir)
+    param["expid"] = "released_pt"
+    pip = R.create_pipeline(
+        {**param, "test_data": "tinycoco", "test_split": "test"})
+    assert not pip.is_train_finished()
+    import os
+    os.makedirs(pip.model_folder, exist_ok=True)
+    pt = op.join(pip.model_folder, f"model_iter_{pip.max_iter:07d}.pt")
+    torch.save(sd, pt)
+    assert pip.get_checkpoint_file() == pt and pip.is_train_finished()
+
+    results = R.pipeline_eval_multi(
+        [{"test_data": "tinycoco", "test_split": "test"}], param)
+    assert results and results[0] is not None and "CIDEr" in results[0]
+
+    def captions(folder):
+        preds = list((folder).glob("*.predict.tsv"))
+        assert len(preds) == 1, preds
+        return [l.split("\t")[1] for l in
+                preds[0].read_text().strip().split("\n")]
+    native = captions(workdir / "output" / "tinycoco_tiny_e2e" / "snapshot")
+    bridged = captions(
+        workdir / "output" / "tinycoco_tiny_released_pt" / "snapshot")
+    assert bridged == native
+
+
 def test_resume_from_snapshot(workdir):
     """Kill-and-resume: training restarts from the last snapshot."""
     import run as R

@@ -93,6 +93,25 @@ def _synonym_groups(path: Optional[str] = None) -> Dict[str, int]:
     return word2gid
 
 
+@lru_cache(maxsize=1)
+def _synonym_groups_by_stem(path: Optional[str] = None) -> Dict[str, int]:
+    """Porter-stem -> synonym-set id, restricted to stems that map to ONE
+    group.  Lets inflected forms ('dogs', 'puppies') reach the table, whose
+    keys are base forms — the jar lemmatizes before the WordNet synset
+    lookup, so a surface-only lookup under-matches.  Stems shared by two
+    different groups are dropped (ambiguous)."""
+    _ensure_stemmer()
+    stem2gid: Dict[str, int] = {}
+    ambiguous = set()
+    for w, g in _synonym_groups(path).items():
+        s = _stem(w)
+        if stem2gid.setdefault(s, g) != g:
+            ambiguous.add(s)
+    for s in ambiguous:
+        del stem2gid[s]
+    return stem2gid
+
+
 @lru_cache(maxsize=4)
 def _paraphrases(path: str) -> Dict[Tuple[str, ...], set]:
     """phrase -> set of equivalent phrases; file lines 'p1<TAB>p2'."""

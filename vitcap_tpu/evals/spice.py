@@ -19,7 +19,12 @@ not in this image, so synonym coverage lower-bounds the jar).  Precision
 counts candidate tuples with any matching reference tuple, recall counts
 reference tuples with any matching candidate tuple — the jar's binary
 matching semantics, which differ from plain set intersection once synonyms
-participate.  It tracks Java SPICE's ranking behavior, not its absolute
+participate.  Documented deviation: the SPICE paper defines P and R with
+one conjoint matched-set numerator |T(c) (x) T(S)|; the directional
+numerators here can diverge when several candidate tuples all match one
+reference tuple (or vice versa) through synonyms, slightly inflating
+whichever side holds the duplicates.  Captions rarely repeat tuples, so
+ranking is unaffected.  It tracks Java SPICE's ranking behavior, not its absolute
 values — reported as `SPICE` in .report files with this caveat documented
 (see coco_eval.py).
 """
@@ -194,19 +199,25 @@ def extract_tuples(tokens: Sequence[str]) -> Set[Tuple[str, ...]]:
 # ---------------------------------------------------------------------------
 
 def _slot_match(a: str, b: str, syn: Dict[str, int]) -> bool:
-    """One tuple slot matches: equal stems, or every aligned word pair is
-    stem-equal or shares a synonym group (jar SPICE's synset test)."""
-    from .meteor import _stem
+    """One tuple slot matches: equal surface strings (fast path), or every
+    aligned word pair is stem-equal or shares a synonym group (jar SPICE's
+    synset test).  Synonym lookup falls back to the Porter-stem-indexed
+    table so inflected forms ('dogs' vs 'puppies') still reach the
+    base-form-keyed groups, mirroring the jar's lemmatize-then-lookup."""
+    from .meteor import _stem, _synonym_groups_by_stem
     if a == b:
         return True
     aw, bw = a.split(), b.split()
     if len(aw) != len(bw):
         return False
+    stem_syn = _synonym_groups_by_stem()
     for x, y in zip(aw, bw):
-        if x == y or _stem(x) == _stem(y):
+        sx, sy = _stem(x), _stem(y)
+        if x == y or sx == sy:
             continue
-        gx = syn.get(x)
-        if gx is not None and gx == syn.get(y):
+        gx = syn.get(x, stem_syn.get(sx))
+        gy = syn.get(y, stem_syn.get(sy))
+        if gx is not None and gx == gy:
             continue
         return False
     return True

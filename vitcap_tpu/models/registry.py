@@ -10,15 +10,12 @@ This registry keeps the same factory surface — string name -> model —
 TPU-native: models are functional (init/apply pairs over param pytrees),
 pos-embeds interpolate bicubically on size mismatch (reference
 vision_transformer.py:416-421), and timm torch checkpoints load through
-the checkpoint bridge's suffix-matching rules.  Families: the full
-ViT/DeiT grid (incl. in21k pre_logits + distilled deit) and hybrid
-CNN-stem ViTs; resnet/resnext/seresnet/res2net + gluon re-params
-(backbones.py); efficientnet B/Lite (efficientnet.py); mobilenetv3
-(mobilenetv3.py); regnet X/Y (regnet.py); densenet (densenet.py);
-vovnet v2 (vovnet.py); resnest (resnest.py); sknet (sknet.py); xception
-(xception.py) — each with golden torch-parity tests in
-tests/test_registry.py.  Remaining reference families (nasnet/hrnet/dla/
-tresnet/...) are dead weight in the reference too.
+the checkpoint bridge's suffix-matching rules.  Coverage: all 404
+reference `@register_model` names across ~35 family modules (ViT/DeiT +
+hybrid stems, resnet* families in backbones.py, efficientnet/mobilenetv3/
+regnet/densenet/vovnet/resnest/sknet/xception/nasnet/pnasnet/hrnet/dla/
+tresnet/mixnet/t2t_vit/..., see tests/test_registry.py::TestZooCoverage),
+each family with golden torch-parity tests against the vendored timm.
 
 Usage:
     spec = model_spec("vit_base_patch16_384")

@@ -123,8 +123,17 @@ class UniPipeline:
             iteration = self.max_iter
         suffix = ".orbax" if self.cfg.get("checkpoint_backend") == "orbax" \
             else ".ckpt"
-        return op.join(self.model_folder,
+        path = op.join(self.model_folder,
                        f"model_iter_{iteration:07d}{suffix}")
+        if not op.exists(path):
+            # reference-workflow interop: a released torch checkpoint
+            # dropped into the snapshot dir as model_iter_*.pt evaluates
+            # through the bridge (the reference checkpointer's native
+            # format, checkpoint.py's fuzzy .pt load; see PARITY_RUNBOOK.md)
+            pt = op.join(self.model_folder, f"model_iter_{iteration:07d}.pt")
+            if op.exists(pt):
+                return pt
+        return path
 
     def append_predict_param(self, cc: list) -> None:
         if self.cfg.test_max_iter is not None:      # speed-test predicate
