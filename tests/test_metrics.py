@@ -272,3 +272,51 @@ def test_spice_in_report():
     out = compute_all_metrics(GTS, RES)
     assert "SPICE" in out and 0.0 <= out["SPICE"] <= 1.0
     assert out["SPICE"] > 0.3      # these candidates share most tuples
+
+
+def test_synonym_sensitivity_band():
+    """use_synonyms=False must never score higher (synonyms only ADD
+    matches) — the [no_syn, syn] pair is the published sensitivity band."""
+    from vitcap_tpu.evals.spice import spice
+    gts = {"x": ["a man rides a bike"], "y": ["a puppy on a sofa"]}
+    res = {"x": ["a man rides a bicycle"], "y": ["a dog on a couch"]}
+    m_on, _ = meteor(gts, res)
+    m_off, _ = meteor(gts, res, use_synonyms=False)
+    s_on, _ = spice(gts, res)
+    s_off, _ = spice(gts, res, use_synonyms=False)
+    assert m_off < m_on          # these pairs differ only by synonyms
+    assert s_off <= s_on
+
+
+def test_synonym_coverage_measurement():
+    from vitcap_tpu.evals.meteor import synonym_coverage
+    cov = synonym_coverage(["bicycle", "dog", "the", "a",
+                            "qzxv", "puppies"])
+    # 'the'/'a' are function words -> excluded from the denominator;
+    # bicycle+dog in-table, 'puppies' reaches 'puppy' via the stem index,
+    # 'qzxv' misses
+    assert cov["n_content"] == 4
+    assert cov["in_table"] == 2
+    assert cov["in_table_by_stem"] == 1
+    assert cov["coverage"] == 0.75
+
+
+def test_report_carries_band_and_coverage(tmp_path):
+    import json
+    from vitcap_tpu.data.tsv import tsv_writer
+    from vitcap_tpu.evals.coco_eval import evaluate_on_coco_caption
+    pred = str(tmp_path / "pred.tsv")
+    gt = str(tmp_path / "gt.tsv")
+    tsv_writer([["i1", json.dumps([{"caption": "a man rides a bicycle",
+                                    "conf": 0.9}])]], pred)
+    tsv_writer([["i1", json.dumps([{"caption": "a man riding a bike"}])]],
+               gt)
+    r = evaluate_on_coco_caption(pred, gt)
+    band = r["_impl"]["synonym_sensitivity"]
+    assert band["METEOR"][0] <= band["METEOR"][1] == round(r["METEOR"], 6)
+    assert band["SPICE"][0] <= band["SPICE"][1] == round(r["SPICE"], 6)
+    cov = r["_impl"]["synonym_coverage"]
+    assert 0.0 <= cov["coverage"] <= 1.0 and cov["n_content"] > 0
+    # report round-trips as json
+    rep = json.load(open(str(tmp_path / "pred.report")))
+    assert rep["_impl"]["synonym_sensitivity"] == band

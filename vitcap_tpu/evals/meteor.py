@@ -258,13 +258,45 @@ def meteor_sentence(hyp_words: Sequence[str], ref_words: Sequence[str],
     return (1.0 - pen) * fmean
 
 
+def synonym_coverage(words: Sequence[str],
+                     synonym_file: Optional[str] = None) -> Dict[str, float]:
+    """Measured coverage of the shipped synonym table over a vocabulary.
+
+    Returns {n_words, n_content, in_table, in_table_by_stem, coverage}:
+    `coverage` = fraction of distinct CONTENT words (function words never
+    synonym-match in Meteor scoring practice — their weight is 0.25 and
+    they nearly always exact-match) reachable by the synonym stage, either
+    directly or through the stem-indexed fallback.  Published in `.report`
+    `_impl` so the METEOR/SPICE deviation vs the WordNet-complete jar is a
+    number, not an assertion (jar's WordNet covers ~100% of open-class
+    English; our gap on this vocabulary is 1 - coverage)."""
+    _ensure_stemmer()
+    syn = _synonym_groups(synonym_file)
+    syn_stem = _synonym_groups_by_stem(synonym_file)
+    uniq = {w.lower() for w in words if w and w.isalpha()}
+    content = {w for w in uniq if w not in FUNCTION_WORDS}
+    hit = {w for w in content if w in syn}
+    hit_stem = {w for w in content - hit if _stem(w) in syn_stem}
+    n = max(len(content), 1)
+    return {"n_words": len(uniq), "n_content": len(content),
+            "in_table": len(hit), "in_table_by_stem": len(hit_stem),
+            "coverage": round((len(hit) + len(hit_stem)) / n, 4)}
+
+
 def meteor(gts: Dict, res: Dict, synonym_file: Optional[str] = None,
-           paraphrase_file: Optional[str] = None
-           ) -> Tuple[float, np.ndarray]:
+           paraphrase_file: Optional[str] = None,
+           use_synonyms: bool = True) -> Tuple[float, np.ndarray]:
     """COCOEvalCap-shaped entry: gts/res map key -> list of sentences.
     Per key: max over references (the jar aligns against each reference
-    and keeps the best-scoring one)."""
-    syn = _synonym_groups(synonym_file)
+    and keeps the best-scoring one).
+
+    use_synonyms=False disables the synonym stage — used by
+    coco_eval to publish the measured synonym-sensitivity band
+    [METEOR_nosyn, METEOR_syn] next to the score (the shipped table
+    under-covers WordNet, so the with-synonyms value lower-bounds the
+    jar along that axis; the band width shows how much that axis moves
+    the number on THIS data)."""
+    syn = _synonym_groups(synonym_file) if use_synonyms else {}
     par = _paraphrases(paraphrase_file) if paraphrase_file else None
     scores = []
     for k in gts:

@@ -210,7 +210,10 @@ def _slot_match(a: str, b: str, syn: Dict[str, int]) -> bool:
     aw, bw = a.split(), b.split()
     if len(aw) != len(bw):
         return False
-    stem_syn = _synonym_groups_by_stem()
+    # empty syn = synonym stage disabled (sensitivity-band measurement):
+    # the stem-indexed fallback is part of that same stage, so it is
+    # gated off together with the word-keyed table
+    stem_syn = _synonym_groups_by_stem() if syn else {}
     for x, y in zip(aw, bw):
         sx, sy = _stem(x), _stem(y)
         if x == y or sx == sy:
@@ -229,8 +232,8 @@ def _tuple_match(c: Tuple[str, ...], r: Tuple[str, ...],
         _slot_match(a, b, syn) for a, b in zip(c, r))
 
 
-def spice(gts: Dict[str, List[str]], res: Dict[str, List[str]]
-          ) -> Tuple[float, np.ndarray]:
+def spice(gts: Dict[str, List[str]], res: Dict[str, List[str]],
+          use_synonyms: bool = True) -> Tuple[float, np.ndarray]:
     """Mean per-image tuple F1 (SPICE-lite).  gts/res: key -> [sentences]
     (PTB-tokenized strings, same surface as the other metrics).
 
@@ -241,7 +244,7 @@ def spice(gts: Dict[str, List[str]], res: Dict[str, List[str]]
     for WordNet synsets)."""
     from .meteor import _ensure_stemmer, _synonym_groups
     _ensure_stemmer()
-    syn = _synonym_groups()
+    syn = _synonym_groups() if use_synonyms else {}
     scores = []
     for k in gts:
         cand = extract_tuples_surface(res[k][0].split())
