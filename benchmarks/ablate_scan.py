@@ -62,20 +62,26 @@ def main():
     ctx_v = ctx["ctx_v"]
     S = ctx_k[0].shape[2]
 
-    def run_scan(body, carry0):
-        def f(c, t):
-            return body(c, t), None
-        def g(carry0):
-            c, _ = jax.lax.scan(f, carry0, jnp.arange(1, A))
+    def run_scan(body, carry0, env=()):
+        # env is passed as a jit ARG: closed-over device arrays would be
+        # serialized into the HLO as constants (413s the compile tunnel)
+        def f(env):
+            def step(c, t):
+                return body(c, t, env), None
+            return step
+        def g(carry0, env):
+            c, _ = jax.lax.scan(f(env), carry0, jnp.arange(1, A))
             return c
         jg = jax.jit(g)
-        return timeit(lambda: jg(carry0), lambda o: jax.tree_util.tree_leaves(o)[0]) / steps
+        return timeit(lambda: jg(carry0, env),
+                      lambda o: jax.tree_util.tree_leaves(o)[0]) / steps
 
     q0 = jnp.asarray(rng.randn(Bb, nH, 2, hd), dt)
 
     # 1. ctx einsums only (score + out per layer), softmax-free
-    def body_einsums(c, t):
+    def body_einsums(c, t, env):
         acc = c
+        ctx_k, ctx_v = env
         for li in range(4):
             s = jnp.einsum("bhqd,bhkd->bhqk", q0, ctx_k[li],
                            preferred_element_type=jnp.float32)
@@ -84,7 +90,7 @@ def main():
                            preferred_element_type=dt)
             acc = acc + o
         return acc
-    t1 = run_scan(body_einsums, jnp.zeros((Bb, nH, 2, hd), dt))
+    t1 = run_scan(body_einsums, jnp.zeros((Bb, nH, 2, hd), dt), (ctx_k, ctx_v))
     print(f"ctx einsums only:        {t1*1e3:7.3f} ms/step "
           f"(kv floor ~{2*4*B*S*H*2/819e9*1e3:.3f})")
 
@@ -92,20 +98,22 @@ def main():
     cap_k = jnp.zeros((Bb, nH, A, hd), dt)
     cap_v = jnp.zeros((Bb, nH, A, hd), dt)
 
-    def body_attn(c, t):
+    def body_attn(c, t, env):
         acc, ck, cv = c
+        pc, ctx_k, ctx_v, valid = env
         for li in range(4):
             o, ck, cv = D._decode_attention(
-                pcast["decoder"]["layer"][li]["attention"]["self"],
-                acc, ck, cv, ctx_k[li], ctx_v[li], ctx["ctx_valid"], t, nH)
+                pc["decoder"]["layer"][li]["attention"]["self"],
+                acc, ck, cv, ctx_k[li], ctx_v[li], valid, t, nH)
         return (o, ck, cv)
-    t2 = run_scan(body_attn, (jnp.zeros((Bb, 2, H), dt), cap_k, cap_v))
+    t2 = run_scan(body_attn, (jnp.zeros((Bb, 2, H), dt), cap_k, cap_v),
+                  (pcast, ctx_k, ctx_v, ctx["ctx_valid"]))
     print(f"full attn x4 (no MLP):   {t2*1e3:7.3f} ms/step")
 
     # 3. small matmuls only: qkv + out-proj + MLP per layer, no attention
-    def body_mm(c, t):
+    def body_mm(c, t, env):
         x = c
-        for layer in pcast["decoder"]["layer"]:
+        for layer in env["decoder"]["layer"]:
             from vitcap_tpu.models.layers import dense, gelu, layer_norm
             qkv = dense(layer["attention"]["self"]["qkv_packed"], x)
             x = qkv[:, :, :H]
@@ -115,27 +123,27 @@ def main():
             i = gelu(dense(layer["intermediate"]["dense"], x))
             x = dense(layer["output"]["dense"], i)
         return x
-    t3 = run_scan(body_mm, jnp.zeros((Bb, 2, H), dt))
+    t3 = run_scan(body_mm, jnp.zeros((Bb, 2, H), dt), pcast)
     print(f"small matmuls only:      {t3*1e3:7.3f} ms/step "
           f"(w floor ~{4*(3*H*H+H*H+2*H*3072)*2/819e9*1e3:.3f})")
 
     # 4. LM head + argmax + log_softmax only
     x1 = jnp.asarray(rng.randn(Bb, H), dt)
 
-    def body_lm(c, t):
-        logits = M.caption_logits(pcast, c, cfg).astype(jnp.float32)
+    def body_lm(c, t, env):
+        logits = M.caption_logits(env, c, cfg).astype(jnp.float32)
         nxt = jnp.argmax(logits, -1)
         lp = jax.nn.log_softmax(logits, -1)
         sc = jnp.take_along_axis(lp, nxt[:, None], 1)[:, 0]
         return c + sc[:, None].astype(dt) * 0
-    t4 = run_scan(body_lm, x1)
+    t4 = run_scan(body_lm, x1, pcast)
     print(f"LM head+argmax+lsm only: {t4*1e3:7.3f} ms/step "
           f"(w floor ~{H*cfg.vocab_size*2/819e9*1e3:.3f})")
 
     # 5. token bookkeeping only (dynamic slices on tokens)
     tokens = jnp.full((Bb, A), 0, jnp.int32)
 
-    def body_tok(c, t):
+    def body_tok(c, t, env):
         tokens, unfin = c
         prev = jnp.take_along_axis(tokens, (t - 1)[None, None].repeat(Bb, 0),
                                    axis=1)[:, 0]
@@ -148,15 +156,17 @@ def main():
     print(f"token bookkeeping only:  {t5*1e3:7.3f} ms/step")
 
     # 6. real full step for comparison
-    init_caches, engine_step, _ = D._decode_engine(pcast, ctx, cfg, opts, Bb)
-
-    def body_full(c, t):
+    def body_full(c, t, env):
+        pc, cx = env
+        init_caches, engine_step, _ = D._decode_engine(pc, cx, cfg, opts, Bb)
         caches, prev = c
         logits, caches = engine_step(caches, prev, t)
         nxt = jnp.argmax(logits, -1).astype(jnp.int32)
         return caches, nxt
+    init_caches, _, _ = D._decode_engine(pcast, ctx, cfg, opts, Bb)
     t6 = run_scan(body_full, (init_caches(),
-                              jnp.full((Bb,), cfg.cls_token_id, jnp.int32)))
+                              jnp.full((Bb,), cfg.cls_token_id, jnp.int32)),
+                  (pcast, ctx))
     print(f"real full step:          {t6*1e3:7.3f} ms/step")
     print(f"sum of parts (1+3+4+5):  {(t1+t3+t4+t5)*1e3:7.3f} ms/step")
 

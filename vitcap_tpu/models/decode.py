@@ -207,7 +207,8 @@ def build_decode_context(params: Params, images: jnp.ndarray,
             bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad), (0, 0)))
             bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (0, pad)),
                            constant_values=NEG_MASK_VALUE)
-        for layer in params["decoder"]["layer"]:
+        layers = params["decoder"]["layer"]
+        for li, layer in enumerate(layers):
             ps = layer["attention"]["self"]
             k = dense(ps["key"], x)[:, :S_ctx]
             v = dense(ps["value"], x)[:, :S_ctx]
@@ -219,7 +220,13 @@ def build_decode_context(params: Params, images: jnp.ndarray,
                     k, v = _quantize_cache(k), _quantize_cache(v)
             ctx_k.append(k)
             ctx_v.append(v)
-            x = _bert_layer_full(layer, x, bias, cfg)
+            if li + 1 < len(layers):
+                # the LAST layer's block output feeds nothing — only its
+                # k/v projections above are consumed (the decode scan
+                # reads caches, never prefill hidden states); skipping the
+                # body saves one full BERT block over (B, S_ctx, H)
+                # (~5 ms at B=64), bit-exact
+                x = _bert_layer_full(layer, x, bias, cfg)
     # the ctx dict must stay jit-returnable (arrays only): flat layout is
     # signalled by the presence of 'ctx_bias', not a string field
     out = {
@@ -686,11 +693,16 @@ def generate_greedy(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
                 else logits
             lg = top_k_top_p_filtering(lg, opts.top_k, opts.top_p)
             nxt = jax.random.categorical(rs, lg, axis=-1)
-            step_logp = jax.nn.log_softmax(lg, axis=-1)
         else:
+            lg = logits
             nxt = jnp.argmax(logits, axis=-1)
-            step_logp = jax.nn.log_softmax(logits, axis=-1)
-        score = jnp.take_along_axis(step_logp, nxt[:, None], axis=1)[:, 0]
+        # log_softmax gathered at one index, without materializing the
+        # (B, V) f32 log-prob array (3 extra HBM passes/step at V=30522);
+        # same op order as log_softmax -> take_along_axis: (x-m) - lse
+        m = jax.lax.stop_gradient(jnp.max(lg, axis=-1, keepdims=True))
+        shifted = jnp.take_along_axis(lg, nxt[:, None], axis=1) - m
+        lse = jnp.log(jnp.sum(jnp.exp(lg - m), axis=-1, keepdims=True))
+        score = (shifted - lse)[:, 0]
         add = jnp.where(unfin > 0, nxt, cfg.pad_token_id).astype(jnp.int32)
         tokens = jax.lax.dynamic_update_slice_in_dim(
             tokens, add[:, None], t, axis=1)
