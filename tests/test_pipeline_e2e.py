@@ -400,6 +400,15 @@ def test_cbs_predict_pipeline(workdir):
     # same artifact)
     dense = rows({"cbs_sparse": 0, "force_predict": True})
     assert dense == sparse
+    # local data-parallel CBS: batch shards across all virtual devices
+    # (the round-2 `not use_cbs` mesh exclusion is lifted — every search
+    # input incl. the sparse-FSM descriptors is batch-leading); captions
+    # must match the single-device sparse run
+    import jax
+    if jax.local_device_count() > 1:
+        dp = rows({"test_batch_size": jax.local_device_count(),
+                   "force_predict": True})
+        assert dp == sparse
 
 
 def test_predict_speed_breakdown(workdir):

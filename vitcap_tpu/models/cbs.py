@@ -679,6 +679,11 @@ class CbsDecoder:
         self.min_constraints = min_constraints_to_satisfy
         self.beam_size = beam_size
         self.sparse = sparse
+        # device placement hook: the predict pipeline points this at a
+        # batch-sharded device_put when a local data-parallel mesh is up
+        # (every search input is batch-leading and row-independent, so
+        # the search scales across local chips like greedy decode)
+        self.put = jnp.asarray
         self._jit_cache: Dict[Any, Any] = {}
 
     def _constraints(self, keys: Sequence[str]):
@@ -725,8 +730,9 @@ class CbsDecoder:
                     return out["ids"], out["logprobs"]
                 self._jit_cache[key] = run
             ids, logprobs = self._jit_cache[key](
-                params, images, od_ids, od_tt, seq_len,
-                {k: jnp.asarray(v) for k, v in sfsm.items()})
+                params, self.put(images), self.put(od_ids),
+                self.put(od_tt), self.put(seq_len),
+                {k: self.put(v) for k, v in sfsm.items()})
             return (ids, logprobs), n_cons
         fsm, n_cons = self.build_batch_fsm(keys)
         if "dense" not in self._jit_cache:
@@ -740,7 +746,8 @@ class CbsDecoder:
                 return out["ids"], out["logprobs"]
             self._jit_cache["dense"] = run
         ids, logprobs = self._jit_cache["dense"](
-            params, images, od_ids, od_tt, seq_len, jnp.asarray(fsm))
+            params, self.put(images), self.put(od_ids), self.put(od_tt),
+            self.put(seq_len), self.put(fsm))
         return (ids, logprobs), n_cons
 
     def collect(self, out, n_cons, cfg: ModelConfig

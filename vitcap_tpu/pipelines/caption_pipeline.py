@@ -721,7 +721,7 @@ class CaptionUniPipeline(UniPipeline):
         # batch shards on the data axis, params replicate (multi-HOST
         # parallelism is the per-rank TSV sharding above this)
         mesh = None
-        if jax.local_device_count() > 1 and not self.cfg.use_cbs \
+        if jax.local_device_count() > 1 \
                 and int(self.cfg.test_batch_size) \
                 % jax.local_device_count() == 0:
             from ..parallel.mesh import (batch_sharding, make_mesh,
@@ -730,6 +730,13 @@ class CaptionUniPipeline(UniPipeline):
                              devices=jax.local_devices())
             params = jax.device_put(params, replicated(mesh))
             b_shard = batch_sharding(mesh)
+            if cbs is not None:
+                # CBS rides the same local mesh: every search input —
+                # images, od slots, seq_len AND the sparse-FSM descriptor
+                # arrays — is batch-leading and row-independent, so the
+                # batch shards on the data axis while params replicate
+                # (the round-2 `not use_cbs` exclusion is gone)
+                cbs.put = lambda a: jax.device_put(jnp.asarray(a), b_shard)
 
         # cache the jitted decode across predict_iter calls: a fresh
         # closure per call would RE-TRACE the whole decode graph (tens of
