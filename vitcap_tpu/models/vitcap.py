@@ -317,9 +317,15 @@ def tag_logits_from_hidden(params: Params, tag_hidden: jnp.ndarray,
 def select_tags(tag_logits: jnp.ndarray, cfg: ModelConfig
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Non-differentiable sigmoid top-K concept selection; last slot forced to
-    SEP (reference modeling_bert.py:1427-1447)."""
+    SEP (reference modeling_bert.py:1427-1447).
+
+    Top-K via decode.exact_top_k (tie-exact vs lax.top_k, which sorts the
+    whole (B, V) row: ~1 ms/batch on v5e; the chunked two-stage selection
+    runs at reduce bandwidth).  All rows are finite sigmoid probs, so the
+    finite-row precondition holds."""
+    from .decode import exact_top_k
     probs = jax.nn.sigmoid(jax.lax.stop_gradient(tag_logits.astype(jnp.float32)))
-    top_prob, top_idx = jax.lax.top_k(probs, cfg.topk)
+    top_prob, top_idx = exact_top_k(probs, cfg.topk)
     n_conf = jnp.sum(top_prob >= cfg.tag_conf_threshold, axis=-1)
     top_idx = top_idx.at[:, -1].set(cfg.sep_token_id)
     return top_idx, top_prob, n_conf
