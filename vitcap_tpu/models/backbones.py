@@ -60,12 +60,155 @@ def _group_norm(x, p, groups=32, act=True):
 
 
 def _batch_norm(x, p, act=True, eps=_EPS):
-    """Eval-mode BN on running stats.  eps defaults to torch's 1e-5; the
-    TF-ported zoo variants pass BN_EPS_TF_DEFAULT=1e-3 (reference
-    efficientnet_blocks.py:24, resolve_bn_args)."""
-    inv = jax.lax.rsqrt(p["var"] + eps)
-    x = (x - p["mean"]) * inv * p["scale"] + p["bias"]
+    """BatchNorm.  eps defaults to torch's 1e-5; the TF-ported zoo variants
+    pass BN_EPS_TF_DEFAULT=1e-3 (reference efficientnet_blocks.py:24,
+    resolve_bn_args).
+
+    Eval mode (default): normalize on running stats.  Inside a
+    `zoo_train_mode` context: normalize on the BATCH stats (biased
+    variance), differentiable through them exactly like torch train-mode
+    BN, and record the running-stat update (momentum-blended, UNBIASED
+    batch variance — torch _BatchNorm semantics) for
+    `bn_updated_params`."""
+    tm = _TRAIN_MODE
+    if tm is None:
+        inv = jax.lax.rsqrt(p["var"] + eps)
+        x = (x - p["mean"]) * inv * p["scale"] + p["bias"]
+        return jax.nn.relu(x) if act else x
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(xf, axes)
+    var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)   # biased
+    n = 1
+    for i in axes:
+        n *= x.shape[i]
+    m = tm.momentum
+    unbiased = var * (n / max(n - 1, 1))
+    tm.record_bn(p,
+                 jax.lax.stop_gradient((1.0 - m) * p["mean"] + m * mean),
+                 jax.lax.stop_gradient((1.0 - m) * p["var"] + m * unbiased))
+    xh = (xf - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    x = xh.astype(x.dtype)
     return jax.nn.relu(x) if act else x
+
+
+# --- zoo train mode --------------------------------------------------------
+#
+# The reference's vendored timm trains: BatchNorm uses batch statistics and
+# updates running stats (torch _BatchNorm), stochastic depth drops residual
+# branches per sample (reference layers/drop.py:140-157 drop_path,
+# efficientnet_blocks.py:201-202), and head dropout precedes the classifier
+# (resnet.py:641-642, mobilenetv3.py:142-143).  The functional zoo gets the
+# same semantics through a trace-time context: wrap the apply call in
+# `zoo_train_mode`, then materialize the running-stat updates with
+# `bn_updated_params` INSIDE the same traced function:
+#
+#     def loss_fn(params, x, rng):
+#         with zoo_train_mode(rng, drop_path_rate=0.2, drop_rate=0.2) as tm:
+#             logits = model.apply(params, x, head=True)
+#             new_params = bn_updated_params(params, tm)
+#         return loss(logits), new_params
+#
+# The context is trace-time state (a module global), not runtime state —
+# under jit the branch is resolved during tracing, so eval applies compile
+# to exactly the old graph.
+
+class ZooTrainMode:
+    """Collects per-BN running-stat updates and deals dropout RNG during one
+    traced forward.  momentum: torch BN default 0.1; the TF-ported effnet
+    variants use 0.01 (reference efficientnet_builder.py:18
+    BN_MOMENTUM_TF_DEFAULT, see efficientnet.effnet_bn_momentum)."""
+
+    def __init__(self, rng, momentum=0.1, drop_path_rate=0.0,
+                 drop_rate=0.0):
+        self.rng = rng
+        self.momentum = float(momentum)
+        self.drop_path_rate = float(drop_path_rate)
+        self.drop_rate = float(drop_rate)
+        # id(bn dict) -> (bn dict, new_mean, new_var); the dict reference is
+        # kept so the id stays pinned for the life of the trace
+        self._bn: Dict[int, Any] = {}
+
+    def record_bn(self, p, new_mean, new_var):
+        self._bn[id(p)] = (p, new_mean, new_var)
+
+    def next_rng(self):
+        if self.rng is None:
+            raise ValueError("zoo_train_mode needs an rng key when "
+                             "drop_path_rate/drop_rate > 0")
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+
+_TRAIN_MODE = None
+
+
+class zoo_train_mode:
+    """Context manager enabling reference train() semantics for the zoo."""
+
+    def __init__(self, rng=None, momentum=0.1, drop_path_rate=0.0,
+                 drop_rate=0.0):
+        self._tm = ZooTrainMode(rng, momentum, drop_path_rate, drop_rate)
+
+    def __enter__(self):
+        global _TRAIN_MODE
+        self._prev = _TRAIN_MODE
+        _TRAIN_MODE = self._tm
+        return self._tm
+
+    def __exit__(self, *exc):
+        global _TRAIN_MODE
+        _TRAIN_MODE = self._prev
+        return False
+
+
+def bn_updated_params(params, tm: ZooTrainMode):
+    """New params tree with the running stats recorded by `tm` blended in
+    (call inside the same trace as the forward that filled `tm`)."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            rec = tm._bn.get(id(node))
+            if rec is not None and rec[0] is node:
+                out = dict(node)
+                out["mean"], out["var"] = rec[1], rec[2]
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)
+
+
+def _drop_path(x, rate_scale=1.0):
+    """Stochastic depth on a residual branch (reference drop.py:150-157:
+    per-sample keep mask `floor(keep_prob + U[0,1))`, surviving branches
+    scaled by 1/keep_prob).  rate_scale implements the builder's linear
+    depth schedule `drop_path_rate * block_idx / block_count`
+    (efficientnet_builder.py:252).  Identity in eval mode."""
+    tm = _TRAIN_MODE
+    if tm is None:
+        return x
+    rate = tm.drop_path_rate * rate_scale
+    if rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(tm.next_rng(), shape,
+                                               jnp.float32))
+    return x * (mask / keep).astype(x.dtype)
+
+
+def _head_dropout(x):
+    """Classifier-head dropout (reference resnet.py:641-642 F.dropout).
+    Identity in eval mode."""
+    tm = _TRAIN_MODE
+    if tm is None or tm.drop_rate == 0.0:
+        return x
+    keep = 1.0 - tm.drop_rate
+    mask = jax.random.bernoulli(tm.next_rng(), keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
 def _max_pool(x, window=3, stride=2, padding="SAME"):

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .backbones import _batch_norm, _bn_p, _bn_from, _kaiming, _v
+from .backbones import _batch_norm, _bn_p, _bn_from, _drop_path, _kaiming, _v
 
 Params = Dict[str, Any]
 
@@ -240,6 +240,15 @@ def effnet_bn_eps(variant: str) -> float:
     if variant in TF_EFFNETS or variant in PRUNED_EFFNETS:
         return BN_EPS_TF
     return 1e-5
+
+
+def effnet_bn_momentum(variant: str) -> float:
+    """Running-stat momentum for zoo_train_mode: torch default 0.1; the
+    TF-ported variants train with BN_MOMENTUM_TF_DEFAULT = 1 - 0.99
+    (reference efficientnet_builder.py:18-20)."""
+    if variant in TF_EFFNETS or variant in PRUNED_EFFNETS:
+        return 0.01
+    return 0.1
 
 
 def effnet_plan(variant: str) -> Tuple[int, List[List[dict]], int]:
@@ -452,6 +461,11 @@ def apply_effnet(p: Params, images: jnp.ndarray, variant: str) -> jnp.ndarray:
 
     x = bn(_conv_sym(images, p["stem"]["conv"], 2, same), p["stem"]["bn"])
     x = act(x)
+    # stochastic-depth schedule: the builder scales drop_path_rate linearly
+    # by FLAT block index over the total block count (reference
+    # efficientnet_builder.py:252); active only inside zoo_train_mode
+    block_count = sum(len(b) for b in stages)
+    block_idx = 0
     for si, blocks in enumerate(stages):
         for bi, blk in enumerate(blocks):
             bp = p["stages"][si][bi]
@@ -496,8 +510,11 @@ def apply_effnet(p: Params, images: jnp.ndarray, variant: str) -> jnp.ndarray:
                 y = bn(y, bp["bn3"])
             if blk["stride"] == 1 and blk["in"] == blk["out"] \
                     and not blk.get("noskip"):
-                y = y + residual
+                # drop_path sits on the branch, before the skip add
+                # (efficientnet_blocks.py:201-202, :275-277, :329-331)
+                y = _drop_path(y, block_idx / block_count) + residual
             x = y
+            block_idx += 1
     x = _conv_sym(x, p["head"]["conv"], 1, same)
     x = act(bn(x, p["head"]["bn"]))
     return x

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .backbones import _batch_norm, _bn_p, _bn_from, _kaiming, _v
+from .backbones import _batch_norm, _bn_p, _bn_from, _drop_path, _kaiming, _v
 from .efficientnet import (_conv_sym, _dwconv, _kaiming_dw, _se_p, _w_conv,
                            _w_dw, make_divisible, round_channels)
 
@@ -191,6 +191,11 @@ def apply_mn3(p: Params, images: jnp.ndarray, variant: str) -> jnp.ndarray:
 
     x = bn(_conv_sym(images, p["stem"]["conv"], 2, same), p["stem"]["bn"])
     x = stem_act(x)
+    # stochastic-depth schedule: flat block index over ALL blocks, cn
+    # included (efficientnet_builder.py:252 counts every block even though
+    # ConvBnAct takes no drop_path); active only inside zoo_train_mode
+    block_count = sum(len(b) for b in stages)
+    block_idx = 0
     for si, blocks in enumerate(stages):
         for bi, blk in enumerate(blocks):
             bp = p["stages"][si][bi]
@@ -199,6 +204,7 @@ def apply_mn3(p: Params, images: jnp.ndarray, variant: str) -> jnp.ndarray:
             if blk["type"] == "cn":
                 x = act(bn(_conv_sym(x, bp["conv"], blk["stride"], same),
                            bp["bn1"]))
+                block_idx += 1
                 continue
             if blk["type"] == "ds":
                 y = _dwconv(x, bp["conv_dw"], blk["stride"], same)
@@ -218,8 +224,9 @@ def apply_mn3(p: Params, images: jnp.ndarray, variant: str) -> jnp.ndarray:
                 y = bn(y, bp["bn3"])
             if (blk["stride"] == 1 and blk["in"] == blk["out"]
                     and not blk["noskip"]):
-                y = y + residual
+                y = _drop_path(y, block_idx / block_count) + residual
             x = y
+            block_idx += 1
     return x
 
 

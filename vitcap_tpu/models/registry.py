@@ -17,6 +17,17 @@ regnet/densenet/vovnet/resnest/sknet/xception/nasnet/pnasnet/hrnet/dla/
 tresnet/mixnet/t2t_vit/..., see tests/test_registry.py::TestZooCoverage),
 each family with golden torch-parity tests against the vendored timm.
 
+Train mode: wrapping apply in `backbones.zoo_train_mode` gives reference
+train() semantics — BN batch statistics + running-stat updates
+(materialized via `backbones.bn_updated_params`), stochastic depth on the
+efficientnet/mobilenetv3 residual branches with the builder's linear depth
+schedule, and classifier-head dropout.  Golden train-mode parity
+(forward + running stats + grads THROUGH the batch statistics vs torch
+.train()) is tested for resnet / efficientnet / mobilenetv3 / regnet and
+the BN hybrid-ViT stems (tests/test_zoo_train_mode.py); every other
+BN family shares the same `_batch_norm` entry point and therefore trains
+mechanically, but only those five are parity-verified.
+
 Usage:
     spec = model_spec("vit_base_patch16_384")
     model = create_model("vit_base_patch16_384", img_size=384)
@@ -322,12 +333,12 @@ def cnn_forward(params: Params, images: jnp.ndarray, spec: CnnModelSpec,
                 head: bool = False, dtype=jnp.float32) -> jnp.ndarray:
     """head=False -> NHWC feature map (reference forward_features);
     head=True -> global-avg-pool + fc logits (resnet.py:640-646)."""
-    from .backbones import apply_resnet
+    from .backbones import _head_dropout, apply_resnet
     x = apply_resnet(params["backbone"], images.astype(dtype), spec.variant)
     if not head:
         return x
     pooled = jnp.mean(x, axis=(1, 2))
-    return dense(params["head"], pooled)
+    return dense(params["head"], _head_dropout(pooled))
 
 
 def load_cnn_checkpoint(params: Params, path: str,
@@ -403,12 +414,13 @@ def effnet_forward(params: Params, images: jnp.ndarray,
     """head=False -> NHWC post-head-conv feature map (the reference
     forward_features, efficientnet.py:381-389); head=True -> global-avg-pool
     + classifier logits (:391-396)."""
+    from .backbones import _head_dropout
     from .efficientnet import apply_effnet
     x = apply_effnet(params["backbone"], images.astype(dtype), spec.variant)
     if not head:
         return x
     pooled = jnp.mean(x, axis=(1, 2))
-    return dense(params["head"], pooled)
+    return dense(params["head"], _head_dropout(pooled))
 
 
 def load_effnet_checkpoint(params: Params, path: str,
@@ -2203,12 +2215,13 @@ def regnet_forward(params: Params, images: jnp.ndarray,
     """head=False -> NHWC final-stage feature map (the reference
     forward_features, regnet.py:320-323); head=True -> global-avg-pool
     + classifier logits (ClassifierHead)."""
+    from .backbones import _head_dropout
     from .regnet import apply_regnet
     x = apply_regnet(params["backbone"], images.astype(dtype), spec.variant)
     if not head:
         return x
     pooled = jnp.mean(x, axis=(1, 2))
-    return dense(params["head"], pooled)
+    return dense(params["head"], _head_dropout(pooled))
 
 
 def load_regnet_checkpoint(params: Params, path: str,
@@ -2280,12 +2293,13 @@ def mn3_forward(params: Params, images: jnp.ndarray,
     """head=False -> NHWC pre-pool feature map (the reference
     forward_features, mobilenetv3.py:128-135); head=True -> pooled
     conv_head features + classifier logits (:136-144)."""
+    from .backbones import _head_dropout
     from .mobilenetv3 import apply_mn3, apply_mn3_head
     x = apply_mn3(params["backbone"], images.astype(dtype), spec.variant)
     if not head:
         return x
     h = apply_mn3_head(params["backbone"], x, spec.variant)
-    return dense(params["head"], h)
+    return dense(params["head"], _head_dropout(h))
 
 
 def load_mn3_checkpoint(params: Params, path: str,
