@@ -158,10 +158,11 @@ class TestFusedVitAttn:
                                    rtol=2e-5, atol=2e-5)
 
     def test_parity_padded_seq(self):
-        """L=70 pads to 128 — padded keys must not leak into softmax."""
+        """Non-16-multiple L pads (pad_len) — padded keys must not leak
+        into softmax."""
         from vitcap_tpu.ops.fused_block import (_xla_reference,
                                                 fused_vit_attn)
-        *args, nh = self._setup(L=130)   # pads to 256
+        *args, nh = self._setup(L=130)   # pads to 144
         ref = _xla_reference(*args, num_heads=nh, eps=1e-6)
         out = fused_vit_attn(*args, nh, 1e-6, True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),

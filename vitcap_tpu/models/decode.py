@@ -196,12 +196,14 @@ def build_decode_context(params: Params, images: jnp.ndarray,
     x = ctx
     from ..ops import attention_backend, inference_mode
     with inference_mode():
-        # pad the token axis to a 128-multiple ONCE around the 4-layer
+        # pad the token axis to the kernel pad length ONCE around the
         # prefill when the fused kernel runs: per-layer pad/unpad of x AND
         # the (B,1,S,S) f32 bias costs ~0.2 ms each.  Padded KEY columns
         # get the reference's -10000 mask; padded query rows are garbage
         # and never read (caches slice back to S).
-        pad = (-S_ctx) % 128 if attention_backend() != "xla" else 0
+        from ..ops.fused_block import pad_len
+        pad = (pad_len(S_ctx) - S_ctx) \
+            if attention_backend() != "xla" else 0
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
             bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -521,6 +523,18 @@ def _pick_layout(cfg: ModelConfig) -> str:
     return "heads"
 
 
+def _scan_unroll() -> int:
+    """Decode-scan unroll factor (VITCAP_DECODE_UNROLL, default 1).
+    Unrolling lets XLA's scheduler start the next step's context-cache
+    DMAs during the current step's small matmul/bookkeeping chain — the
+    step is latency-bound, not bandwidth-bound (see STATUS int8 notes)."""
+    import os
+    try:
+        return max(1, int(os.environ.get("VITCAP_DECODE_UNROLL", "1")))
+    except ValueError:
+        return 1
+
+
 def _use_fused_decode() -> bool:
     """Opt-in routing of the decode scan through the one-kernel-per-step
     Pallas engine (ops/decode_step.py): VITCAP_DECODE_FUSED=1 (TPU) or
@@ -739,7 +753,7 @@ def generate_greedy(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
         return (tokens, unfin, sum_lp, cnt, caches, seen, r), (score, nxt)
 
     (tokens, unfin, sum_lp, cnt, *_), (step_scores, raw_tokens) = \
-        jax.lax.scan(step, carry, jnp.arange(1, A))
+        jax.lax.scan(step, carry, jnp.arange(1, A), unroll=_scan_unroll())
     # force EOS on unfinished at max length (reference :884-886)
     tokens = tokens.at[:, A - 1].set(
         jnp.where(unfin > 0, cfg.sep_token_id, tokens[:, A - 1]))
@@ -957,7 +971,8 @@ def generate_beam(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
         return (tokens, beam_scores, hs, ht, hl, hn, done, caches, seen,
                 r), None
 
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(1, A))
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(1, A),
+                            unroll=_scan_unroll())
     (_, _, hs, ht, hl, hn, _, _, _, _) = carry
 
     # final selection: top-K hyps by normalized score; append EOS

@@ -220,7 +220,7 @@ def vit_block(p: Params, x: jnp.ndarray, num_heads: int, ln_eps: float,
     shape B=32 L=577 bf16); elsewhere the plain XLA chain runs (training
     backward, biased decoder blocks, CPU tests).
 
-    l_actual > 0: x is pre-padded to a 128-multiple with that many valid
+    l_actual > 0: x is pre-padded to ops.fused_block.pad_len with that many valid
     rows (the caller hoisted padding out of its block loop; only
     meaningful on the fused path — the XLA path treats padded rows as
     real, so callers must only pre-pad when the fused path is active)."""

@@ -226,8 +226,9 @@ def split_encoder(params: Params, visual_in: jnp.ndarray, cfg: ModelConfig
         if _on_tpu() or interp:
             fused = train_fused = True
             backend = "pallas_interpret" if interp else "pallas"
+    from ..ops.fused_block import pad_len
     L_true = visual_in.shape[1]
-    pad = (-L_true) % 128 if fused else 0
+    pad = (pad_len(L_true) - L_true) if fused else 0
     l_actual = L_true if pad else 0
 
     if train_fused:
@@ -266,7 +267,7 @@ def split_encoder(params: Params, visual_in: jnp.ndarray, cfg: ModelConfig
                 x = x[:, :L_true]
             x = _filter_tokens_by_attention(blk, x, cfg)
             L_true = x.shape[1]
-            pad = (-L_true) % 128 if fused else 0
+            pad = (pad_len(L_true) - L_true) if fused else 0
             l_actual = L_true if pad else 0
             if pad:
                 x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))

@@ -42,6 +42,17 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def pad_len(L: int) -> int:
+    """Padded token length for the fused kernels.  Single-q-tile slabs
+    (L <= 1024) only need SUBLANE alignment — bf16 tiles at (16, 128), so
+    577 pads to 592 instead of 640, cutting ~7% of every matmul's rows
+    (measured 5.42 -> 5.06 ms/block at B=64, L=577).  Longer L keeps TQ
+    alignment for the q-tile loop."""
+    lp = max(64, _round_up(L, 16))   # >=64: the vit_block dispatch gate —
+    # pre-padded inputs must still engage the fused path
+    return lp if lp <= 1024 else _round_up(L, TQ)
+
+
 def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
             bproj_ref, o_ref, *, num_heads: int, eps: float, l_actual: int,
             lp: int):
@@ -147,11 +158,12 @@ def _fused_block_fwd(x: jnp.ndarray, p: Params, num_heads: int,
     pad+unpad pair costs ~0.15 ms/block at the trunk shape)."""
     B, L, H = x.shape
     if l_actual:
-        assert L % TQ == 0, "pre-padded input must be TQ-aligned"
+        assert L % 16 == 0 and (L <= 1024 or L % TQ == 0), \
+            "pre-padded input must be pad_len-aligned"
         Lp, pad = L, 0
         L = l_actual
     else:
-        Lp = _round_up(L, TQ)
+        Lp = pad_len(L)
         pad = Lp - L
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
@@ -191,7 +203,7 @@ def _fused_block_fwd(x: jnp.ndarray, p: Params, num_heads: int,
 def _fused_fwd(x: jnp.ndarray, lns, lnb, wqkv, bqkv, wproj, bproj,
                num_heads: int, eps: float, interpret: bool) -> jnp.ndarray:
     B, L, H = x.shape
-    Lp = _round_up(L, TQ)
+    Lp = pad_len(L)
     pad = Lp - L
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
@@ -346,7 +358,7 @@ def _fused_bert_fwd(p: Params, x: jnp.ndarray, bias: jnp.ndarray,
     'output':{dense,LayerNorm}}, 'intermediate':{dense},
     'output':{dense,LayerNorm}}; bias (B,1,L,L) additive."""
     B, L, H = x.shape
-    Lp = _round_up(L, TQ)
+    Lp = pad_len(L)
     pad = Lp - L
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
