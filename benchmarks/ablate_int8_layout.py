@@ -152,6 +152,23 @@ def main():
     print(f"scan b (B,S,768)  int8  : {t/steps*1e3:7.3f} ms/step "
           f"{kv_bytes_i8/(t/steps)/1e9:7.1f} GB/s eff", flush=True)
 
+    # d. int8 stored, CONVERT-to-bf16 fused into the dot (bf16 MXU):
+    # HBM reads int8 bytes, the convert rides the operand fusion, and the
+    # per-(b,h) scale folds into q / the output instead of the cache.
+    def body_d(q):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q * sc.astype(jnp.bfloat16),
+                       k8.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v8.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return (o * sc).astype(jnp.bfloat16)
+
+    jf = jax.jit(lambda q: run_scan(body_d, q))
+    t = timeit(lambda: jf(q0), lambda o: o, iters=10)
+    print(f"scan d int8->bf16 fused : {t/steps*1e3:7.3f} ms/step "
+          f"{kv_bytes_i8/(t/steps)/1e9:7.1f} GB/s eff", flush=True)
+
     # c. bf16 baseline head layout
     kb = jnp.asarray(rng.randn(B, nH, S, hd), jnp.bfloat16)
     vb = jnp.asarray(rng.randn(B, nH, S, hd), jnp.bfloat16)
@@ -167,6 +184,27 @@ def main():
     jf = jax.jit(lambda q: run_scan(body_c, q))
     t = timeit(lambda: jf(q0), lambda o: o, iters=10)
     print(f"scan c (B,nH,S,64) bf16 : {t/steps*1e3:7.3f} ms/step "
+          f"{kv_bytes_bf/(t/steps)/1e9:7.1f} GB/s eff", flush=True)
+
+    # e. bf16 merged-minor (B, S, 768) — the PROJECTION layout the prefill
+    # denses produce.  If this reads as fast as head layout in-scan, the
+    # ctx build can skip its 8 head transposes (~17 ms/batch at B=64).
+    kbm = jnp.asarray(rng.randn(B, S, H), jnp.bfloat16)
+    vbm = jnp.asarray(rng.randn(B, S, H), jnp.bfloat16)
+
+    def body_e(q):
+        k4 = kbm.reshape(B, S, nH, hd)
+        s = jnp.einsum("bhqd,bshd->bhqs", q, k4,
+                       preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+        v4 = vbm.reshape(B, S, nH, hd)
+        o = jnp.einsum("bhqs,bshd->bhqd", p, v4,
+                       preferred_element_type=jnp.float32)
+        return o.astype(jnp.bfloat16)
+
+    jf = jax.jit(lambda q: run_scan(body_e, q))
+    t = timeit(lambda: jf(q0), lambda o: o, iters=10)
+    print(f"scan e (B,S,768)  bf16  : {t/steps*1e3:7.3f} ms/step "
           f"{kv_bytes_bf/(t/steps)/1e9:7.1f} GB/s eff", flush=True)
 
 

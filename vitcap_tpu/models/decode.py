@@ -164,13 +164,21 @@ def build_decode_context(params: Params, images: jnp.ndarray,
                          seq_len: jnp.ndarray, cfg: ModelConfig,
                          opts: DecodeOptions,
                          visual_token_idx: Optional[jnp.ndarray] = None,
-                         layout: str = "heads") -> Dict[str, Any]:
+                         layout: Optional[str] = None) -> Dict[str, Any]:
     """build_context_embeddings + decoder-layer K/V prefill over the static
     context (valid because context tokens never attend caption tokens).
 
+    layout=None: auto (`_pick_layout(cfg)` — 'proj' unless int8 caches or
+    the fused engine are requested).
+    layout='proj': per-layer (B, S, nH*hd) lists — the raw projection
+    output, no head transpose (the (B,S,768)->(B,12,S,64) transpose moves
+    64-wide minor chunks at ~20 GB/s, ~17 ms/batch for 8 tensors at B=64;
+    the scan-side einsum reads the merged layout at the same rate).
     layout='heads': per-layer (B, nH, S, hd) lists for the XLA scan body.
     layout='flat': packed (nL, B, Sp, H) arrays + additive context bias for
     the fused Pallas decode-step kernel (ops/decode_step.py)."""
+    if layout is None:
+        layout = _pick_layout(cfg)
     ce = build_context_embeddings(params, images, od_ids, od_token_type_ids,
                                   seq_len, cfg, opts, visual_token_idx)
     ctx, ctx_valid, od_len = ce["ctx"], ce["ctx_valid"], ce["od_len"]
@@ -214,7 +222,8 @@ def build_decode_context(params: Params, images: jnp.ndarray,
             ps = layer["attention"]["self"]
             k = dense(ps["key"], x)[:, :S_ctx]
             v = dense(ps["value"], x)[:, :S_ctx]
-            if layout == "heads":
+            if layout == "heads" or (layout == "proj"
+                                     and cfg.kv_cache_quant == "int8"):
                 if cfg.kv_cache_quant == "int8":
                     # quantize FIRST in the projection layout (B,S,nH*hd),
                     # then transpose the int8: the head transpose then
@@ -379,7 +388,8 @@ def _decode_attention(ps: Params, x_win: jnp.ndarray,
     nb = Bb // B
     hd = H // num_heads
     A = cap_k.shape[2]
-    S = k_arr.shape[2]
+    proj = (not quant) and k_arr.ndim == 3    # (B, S, nH*hd) 'proj' layout
+    S = k_arr.shape[1] if proj else k_arr.shape[2]
 
     if "qkv_packed" in ps:       # merged projection (decode_params_cast)
         q, k_win, v_win = jnp.split(dense(ps["qkv_packed"], x_win), 3,
@@ -412,6 +422,12 @@ def _decode_attention(ps: Params, x_win: jnp.ndarray,
                          preferred_element_type=jnp.int32)
         s_ctx = s32.astype(jnp.float32) * q_scale \
             * ctx_k["scale"][:, None, :, :, 0:1]
+    elif proj:
+        # merged-minor read straight from the projection layout (same dot
+        # contraction over hd — bit-identical scores, no prefill transpose)
+        k4 = ctx_k.reshape(B, S, num_heads, hd)
+        s_ctx = jnp.einsum("bnhqd,bshd->bnhqs", q4, k4,
+                           preferred_element_type=jnp.float32)
     else:
         s_ctx = jnp.einsum("bnhqd,bhkd->bnhqk", q4, ctx_k,
                            preferred_element_type=jnp.float32)
@@ -440,6 +456,10 @@ def _decode_attention(ps: Params, x_win: jnp.ndarray,
                          preferred_element_type=jnp.int32)
         o_ctx = (o32.astype(jnp.float32) * p_scale
                  * ctx_v["scale"][:, None, :, :, 0:1]).astype(x_win.dtype)
+    elif proj:
+        v4 = ctx_v.reshape(B, S, num_heads, hd)
+        o_ctx = jnp.einsum("bnhqs,bshd->bnhqd", p_ctx5, v4,
+                           preferred_element_type=x_win.dtype)
     else:
         o_ctx = jnp.einsum("bnhqk,bhkd->bnhqd", p_ctx5, ctx_v,
                            preferred_element_type=x_win.dtype)
@@ -507,10 +527,15 @@ def _init_caps(B: int, n_layers: int, A: int, H: int, dtype,
 
 
 def _pick_layout(cfg: ModelConfig) -> str:
-    """Cache layout for the decode engine.  The int8-cache config knob
-    only exists on the XLA/heads engine, so it wins over the
-    VITCAP_DECODE_FUSED env opt-in (with a warning) rather than being
-    silently dropped."""
+    """Cache layout for the decode engine.  Default 'heads'
+    (VITCAP_CTX_LAYOUT=proj reads the merged projection minor directly,
+    skipping the prefill head transposes — measured a WASH end-to-end at
+    B=64: XLA already hides the transposes inside the ctx jit, and the
+    in-scan merged read is ~0.1 ms/step slower; kept as a tested option
+    for other geometries).  int8 caches keep the head layout (the int8
+    transpose moves half the bytes and the in-scan int8 einsum prefers
+    it); the int8 config knob wins over the VITCAP_DECODE_FUSED env
+    opt-in (with a warning) rather than being silently dropped."""
     if _use_fused_decode():
         if cfg.kv_cache_quant != "none":
             import logging
@@ -520,7 +545,10 @@ def _pick_layout(cfg: ModelConfig) -> str:
                 cfg.kv_cache_quant)
             return "heads"
         return "flat"
-    return "heads"
+    if cfg.kv_cache_quant != "none":
+        return "heads"
+    import os
+    return os.environ.get("VITCAP_CTX_LAYOUT", "heads")
 
 
 def _scan_unroll() -> int:
