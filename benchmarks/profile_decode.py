@@ -6,10 +6,13 @@ Timing over the axon tunnel: dispatch K iterations back-to-back, fetch only
 the last output (device stream is FIFO; host fetch is the fence).
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, fetch, iters=20, warmup=2):

@@ -443,27 +443,44 @@ def _decode_attention(ps: Params, x_win: jnp.ndarray,
     ctx_allow = jnp.repeat(ctx_valid, nb, axis=0)[:, None, None, :]
     s_ctx = jnp.where(ctx_allow, s_ctx * scale, NEG_MASK_VALUE)
 
-    scores = jnp.concatenate([s_cap, s_self, s_ctx], axis=-1)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x_win.dtype)
-    p_cap, p_self, p_ctx = jnp.split(probs, [A, A + 1], axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", p_cap, cap_v,
-                     preferred_element_type=x_win.dtype)
-    out += p_self * vh_win[:, :, 1:2]
-    p_ctx5 = p_ctx.reshape(B, nb, num_heads, W, S)
+    # split-block softmax with the 1/l normalize folded into the (tiny)
+    # attention outputs: softmax-then-divide materialized an extra f32
+    # divide+convert pass over the (Bb, nh, W, S) prob tensor every layer
+    # (~19 us/layer at B=64 on v5e); e/l applied per output row instead is
+    # the same math (modeling_bert.py:139-176 softmax semantics preserved)
+    m = jnp.maximum(jnp.max(s_ctx, -1, keepdims=True),
+                    jnp.maximum(jnp.max(s_cap, -1, keepdims=True),
+                                jnp.max(s_self, -1, keepdims=True)))
+    e_cap = jnp.exp(s_cap - m)
+    e_self = jnp.exp(s_self - m)                       # (Bb,nh,W,1) f32
+    e_ctx = jnp.exp(s_ctx - m)
+    l = (jnp.sum(e_cap, -1, keepdims=True) + e_self
+         + jnp.sum(e_ctx, -1, keepdims=True))
+    inv = 1.0 / l                                      # (Bb,nh,W,1) f32
+
+    out = jnp.einsum("bhqk,bhkd->bhqd", e_cap.astype(x_win.dtype), cap_v,
+                     preferred_element_type=jnp.float32)
+    out += e_self * vh_win[:, :, 1:2].astype(jnp.float32)
+    e_ctx5 = e_ctx.reshape(B, nb, num_heads, W, S)
     if quant:
-        p8, p_scale = _quantize_rows(p_ctx5.astype(jnp.float32))
+        # per-row absmax of e equals that of p (= e/l, a per-row scalar),
+        # so the int8 bits match the old quantize-probs path exactly
+        p8, p_scale = _quantize_rows(e_ctx5)
         o32 = jnp.einsum("bnhqk,bhkd->bnhqd", p8, ctx_v["q8"],
                          preferred_element_type=jnp.int32)
         o_ctx = (o32.astype(jnp.float32) * p_scale
-                 * ctx_v["scale"][:, None, :, :, 0:1]).astype(x_win.dtype)
+                 * ctx_v["scale"][:, None, :, :, 0:1])
     elif proj:
         v4 = ctx_v.reshape(B, S, num_heads, hd)
-        o_ctx = jnp.einsum("bnhqs,bshd->bnhqd", p_ctx5, v4,
-                           preferred_element_type=x_win.dtype)
+        o_ctx = jnp.einsum("bnhqs,bshd->bnhqd",
+                           e_ctx5.astype(x_win.dtype), v4,
+                           preferred_element_type=jnp.float32)
     else:
-        o_ctx = jnp.einsum("bnhqk,bhkd->bnhqd", p_ctx5, ctx_v,
-                           preferred_element_type=x_win.dtype)
+        o_ctx = jnp.einsum("bnhqk,bhkd->bnhqd",
+                           e_ctx5.astype(x_win.dtype), ctx_v,
+                           preferred_element_type=jnp.float32)
     out += o_ctx.reshape(Bb, num_heads, W, hd)
+    out = (out * inv).astype(x_win.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(Bb, W, H)
     return out, cap_k, cap_v
 
