@@ -301,6 +301,35 @@ def test_synonym_coverage_measurement():
     assert cov["coverage"] == 0.75
 
 
+def test_meteor_stem_indexed_synonym_stage():
+    """ADVICE r3: stage-3 synonym lookup must reach the base-form-keyed
+    table through the Porter-stem index (the jar lemmatizes via WordNet
+    morphy first) — inflected forms like 'dogs'/'puppies' share a group."""
+    gts = {"k": ["two dogs on the grass"]}
+    res = {"k": ["two puppies on the grass"]}
+    m_on, _ = meteor(gts, res, use_paraphrases=False)
+    m_off, _ = meteor(gts, res, use_synonyms=False, use_paraphrases=False)
+    # 'dogs' stems to 'dog' (exact stem-stage match impossible vs
+    # 'puppies'); only the stem-indexed synonym lookup can align them
+    assert m_on > m_off
+
+
+def test_meteor_paraphrase_stage():
+    """The shipped caption-domain paraphrase table is active by default;
+    multi-word locatives must align through stage 4 (no earlier stage can
+    match 'on top of' to 'atop'), and turning the stage off can only lower
+    the score (the published band's invariant)."""
+    gts = {"k": ["a cat sitting on top of a red car"]}
+    res = {"k": ["a cat sitting atop a red car"]}
+    m_on, _ = meteor(gts, res, use_synonyms=False)
+    m_off, _ = meteor(gts, res, use_synonyms=False, use_paraphrases=False)
+    assert m_on > m_off
+    # identity sanity: paraphrases never hurt on arbitrary data
+    a_on, _ = meteor(GTS, RES)
+    a_off, _ = meteor(GTS, RES, use_paraphrases=False)
+    assert a_on >= a_off
+
+
 def test_report_carries_band_and_coverage(tmp_path):
     import json
     from vitcap_tpu.data.tsv import tsv_writer
@@ -315,6 +344,8 @@ def test_report_carries_band_and_coverage(tmp_path):
     band = r["_impl"]["synonym_sensitivity"]
     assert band["METEOR"][0] <= band["METEOR"][1] == round(r["METEOR"], 6)
     assert band["SPICE"][0] <= band["SPICE"][1] == round(r["SPICE"], 6)
+    pband = r["_impl"]["paraphrase_sensitivity"]
+    assert pband["METEOR"][0] <= pband["METEOR"][1] == round(r["METEOR"], 6)
     cov = r["_impl"]["synonym_coverage"]
     assert 0.0 <= cov["coverage"] <= 1.0 and cov["n_content"] > 0
     # report round-trips as json

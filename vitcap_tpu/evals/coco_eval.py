@@ -61,24 +61,29 @@ def evaluate_on_coco_caption(predict_tsv: str, gt_file: str,
     # from the Java tools; BLEU/ROUGE_L/CIDEr are exact reimplementations
     result = dict(compute_all_metrics(gts_tok, res_tok), _impl={
         "METEOR": "native meteor-1.5 (exact/stem/compact-synonym/"
-                  "paraphrase-hook; not WordNet-complete)",
+                  "compact-paraphrase; not WordNet-complete)",
         "SPICE": "SPICE-lite (rule-based scene-graph tuple F1, "
                  "stem+compact-synonym matching; not WordNet-complete)"})
-    # MEASURED synonym-axis deviation, not asserted: re-score with the
-    # synonym stage off -> band [no_syn, with_syn]; the jar (full WordNet)
-    # sits at or above the top of the band on this axis.  Coverage is the
-    # fraction of this run's caption content-vocabulary the shipped table
+    # MEASURED per-axis deviation, not asserted: re-score with each
+    # matcher stage off -> band [stage_off, stage_on]; the jar (full
+    # WordNet synonyms + the 60MB paraphrase-en.gz table) sits at or
+    # above the top of each band on that axis.  Coverage is the fraction
+    # of this run's caption content-vocabulary the shipped synonym table
     # can reach — the residual (1-coverage) bounds how much WordNet could
-    # still add beyond the measured band width.
+    # still add beyond the measured band width.  The paraphrase axis is
+    # METEOR-only (jar SPICE has no paraphrase stage).
     from .meteor import meteor as _meteor, synonym_coverage
     from .spice import spice as _spice
     m_off, _ = _meteor(gts_tok, res_tok, use_synonyms=False)
     s_off, _ = _spice(gts_tok, res_tok, use_synonyms=False)
+    m_par_off, _ = _meteor(gts_tok, res_tok, use_paraphrases=False)
     vocab = [w for sents in list(gts_tok.values()) + list(res_tok.values())
              for s in sents for w in s.split()]
     result["_impl"]["synonym_sensitivity"] = {
         "METEOR": [round(m_off, 6), round(result["METEOR"], 6)],
         "SPICE": [round(s_off, 6), round(result["SPICE"], 6)]}
+    result["_impl"]["paraphrase_sensitivity"] = {
+        "METEOR": [round(m_par_off, 6), round(result["METEOR"], 6)]}
     result["_impl"]["synonym_coverage"] = synonym_coverage(vocab)
     outfile = outfile or op.splitext(predict_tsv)[0] + ".report"
     with open(outfile, "w") as fp:

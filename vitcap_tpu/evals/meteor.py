@@ -22,8 +22,12 @@ Fidelity notes (documented deviation sources, see STATUS.md):
   smaller than WordNet -> native METEOR is a LOWER bound on jar METEOR
   along the synonym axis.
 - PARAPHRASE: the 60MB paraphrase-en.gz table is not shippable; the stage
-  is implemented as a hook (paraphrase_file=, same "phrase\tphrase"
-  line format) and inactive by default.
+  runs by default on a compact curated caption-domain table
+  (data/meteor_paraphrases.txt, same "phrase\tphrase" line format —
+  progressive/simple-present verb phrases, locatives, quantifiers,
+  open/closed compounds).  Coverage is strictly smaller than the real
+  table, so coco_eval publishes a measured on/off sensitivity band for
+  this axis next to the synonym band.  paraphrase_file= overrides.
 - ALIGNMENT: Meteor beam-searches the alignment that maximizes weighted
   coverage and THEN minimizes chunks; we use stage-ordered matching with
   an adjacency-preferring tie-break, which reproduces the chunk-minimal
@@ -146,7 +150,8 @@ def _word_weight(w: str) -> float:
 
 def _align(hyp: List[str], ref: List[str],
            syn: Dict[str, int],
-           par: Optional[Dict[Tuple[str, ...], set]]
+           par: Optional[Dict[Tuple[str, ...], set]],
+           syn_stem: Optional[Dict[str, int]] = None
            ) -> Tuple[List[Tuple[int, int, float]], int]:
     """Stage-ordered alignment.
 
@@ -187,10 +192,20 @@ def _align(hyp: List[str], ref: List[str],
     stage_match(hyp, ref, W_EXACT)
     # stage 2: stem
     stage_match([_stem(w) for w in hyp], [_stem(w) for w in ref], W_STEM)
-    # stage 3: synonym (shared synonym-set id)
+    # stage 3: synonym (shared synonym-set id).  Surface lookup first,
+    # then the stem-indexed fallback: the jar lemmatizes (WordNet morphy)
+    # before the synset lookup, so inflected forms ('dogs', 'running')
+    # must still reach the base-form-keyed table — without this the
+    # native synonym stage under-matches the jar AND the published
+    # synonym_coverage (which counts stem hits) would overstate reach.
     if syn:
-        hs = [syn.get(w) for w in hyp]
-        rs = [syn.get(w) for w in ref]
+        ss = syn_stem or {}
+
+        def gid(w):
+            g = syn.get(w)
+            return g if g is not None else ss.get(_stem(w))
+        hs = [gid(w) for w in hyp]
+        rs = [gid(w) for w in ref]
         stage_match(hs, rs, W_SYN)
     # stage 4: paraphrase (phrase spans up to 4 words, longest-first)
     if par:
@@ -231,13 +246,13 @@ def _align(hyp: List[str], ref: List[str],
 
 def meteor_sentence(hyp_words: Sequence[str], ref_words: Sequence[str],
                     syn: Dict[str, int],
-                    par: Optional[Dict[Tuple[str, ...], set]] = None
-                    ) -> float:
+                    par: Optional[Dict[Tuple[str, ...], set]] = None,
+                    syn_stem: Optional[Dict[str, int]] = None) -> float:
     hyp = [w.lower() for w in hyp_words]
     ref = [w.lower() for w in ref_words]
     if not hyp or not ref:
         return 0.0
-    pairs, chunks = _align(hyp, ref, syn, par)
+    pairs, chunks = _align(hyp, ref, syn, par, syn_stem)
     if not pairs:
         return 0.0
     wsum_h = sum(_word_weight(w) for w in hyp)
@@ -266,7 +281,9 @@ def synonym_coverage(words: Sequence[str],
     `coverage` = fraction of distinct CONTENT words (function words never
     synonym-match in Meteor scoring practice — their weight is 0.25 and
     they nearly always exact-match) reachable by the synonym stage, either
-    directly or through the stem-indexed fallback.  Published in `.report`
+    directly or through the stem-indexed fallback (both lookups are wired
+    into the live stage-3 alignment — see _align — so this number measures
+    the actual matcher, for METEOR and SPICE alike).  Published in `.report`
     `_impl` so the METEOR/SPICE deviation vs the WordNet-complete jar is a
     number, not an assertion (jar's WordNet covers ~100% of open-class
     English; our gap on this vocabulary is 1 - coverage)."""
@@ -285,25 +302,33 @@ def synonym_coverage(words: Sequence[str],
 
 def meteor(gts: Dict, res: Dict, synonym_file: Optional[str] = None,
            paraphrase_file: Optional[str] = None,
-           use_synonyms: bool = True) -> Tuple[float, np.ndarray]:
+           use_synonyms: bool = True,
+           use_paraphrases: bool = True) -> Tuple[float, np.ndarray]:
     """COCOEvalCap-shaped entry: gts/res map key -> list of sentences.
     Per key: max over references (the jar aligns against each reference
     and keeps the best-scoring one).
 
-    use_synonyms=False disables the synonym stage — used by
-    coco_eval to publish the measured synonym-sensitivity band
-    [METEOR_nosyn, METEOR_syn] next to the score (the shipped table
-    under-covers WordNet, so the with-synonyms value lower-bounds the
-    jar along that axis; the band width shows how much that axis moves
-    the number on THIS data)."""
+    use_synonyms=False / use_paraphrases=False disable those matcher
+    stages — used by coco_eval to publish a measured sensitivity band
+    [score_stage_off, score_stage_on] per axis next to the score (the
+    shipped synonym/paraphrase tables under-cover WordNet /
+    paraphrase-en.gz, so the stage-on value lower-bounds the jar along
+    that axis; the band width shows how much the axis moves the number
+    on THIS data).  paraphrase_file defaults to the shipped curated
+    caption-domain table (data/meteor_paraphrases.txt)."""
     syn = _synonym_groups(synonym_file) if use_synonyms else {}
-    par = _paraphrases(paraphrase_file) if paraphrase_file else None
+    syn_stem = _synonym_groups_by_stem(synonym_file) if use_synonyms else {}
+    if paraphrase_file is None and use_paraphrases:
+        paraphrase_file = op.join(_DATA_DIR, "meteor_paraphrases.txt")
+    par = _paraphrases(paraphrase_file) \
+        if (paraphrase_file and use_paraphrases) else None
     scores = []
     for k in gts:
         hyp = res[k][0].split()
         best = 0.0
         for rs in gts[k]:
-            best = max(best, meteor_sentence(hyp, rs.split(), syn, par))
+            best = max(best, meteor_sentence(hyp, rs.split(), syn, par,
+                                             syn_stem))
         scores.append(best)
     arr = np.array(scores)
     return float(np.mean(arr)) if len(arr) else 0.0, arr

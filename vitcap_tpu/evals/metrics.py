@@ -238,11 +238,13 @@ def rouge_l(gts: Dict[str, List[str]], res: Dict[str, List[str]],
 def meteor(gts: Dict[str, List[str]], res: Dict[str, List[str]],
            synonym_file: Optional[str] = None,
            paraphrase_file: Optional[str] = None,
-           use_synonyms: bool = True) -> Tuple[float, np.ndarray]:
+           use_synonyms: bool = True,
+           use_paraphrases: bool = True) -> Tuple[float, np.ndarray]:
     from .meteor import meteor as _meteor
     return _meteor(gts, res, synonym_file=synonym_file,
                    paraphrase_file=paraphrase_file,
-                   use_synonyms=use_synonyms)
+                   use_synonyms=use_synonyms,
+                   use_paraphrases=use_paraphrases)
 
 
 # ---------------------------------------------------------------------------
