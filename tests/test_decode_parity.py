@@ -230,34 +230,6 @@ def test_beam_sample_candidate_distribution():
                                atol=1e-6)
 
 
-class TestCtxLayout:
-    """'proj' (merged-minor, default) vs 'heads' context-cache layouts:
-    same dot contraction, so ids AND logprobs must agree to float noise
-    (the torch parity tests above already pin the default layout)."""
-
-    def _run(self, layout, num_beams, ref_and_params):
-        import os
-        _, _, params = ref_and_params
-        image, od_ids, seq_len = _decode_batch(np.random.RandomState(23))
-        old = os.environ.get("VITCAP_CTX_LAYOUT")
-        os.environ["VITCAP_CTX_LAYOUT"] = layout
-        try:
-            return _my_generate(params, image, od_ids, seq_len,
-                                num_beams=num_beams)
-        finally:
-            if old is None:
-                os.environ.pop("VITCAP_CTX_LAYOUT")
-            else:
-                os.environ["VITCAP_CTX_LAYOUT"] = old
-
-    @pytest.mark.parametrize("num_beams", [1, 3])
-    def test_proj_matches_heads(self, num_beams, ref_and_params):
-        ids_p, lp_p = self._run("proj", num_beams, ref_and_params)
-        ids_h, lp_h = self._run("heads", num_beams, ref_and_params)
-        np.testing.assert_array_equal(ids_p, ids_h)
-        np.testing.assert_allclose(lp_p, lp_h, rtol=1e-5, atol=1e-6)
-
-
 class TestFusedDecodeEngine:
     """Fused Pallas decode-step kernel (ops/decode_step.py) vs the XLA scan
     engine, interpret mode on CPU: ids must match exactly."""

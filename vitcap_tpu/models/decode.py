@@ -168,15 +168,16 @@ def build_decode_context(params: Params, images: jnp.ndarray,
     """build_context_embeddings + decoder-layer K/V prefill over the static
     context (valid because context tokens never attend caption tokens).
 
-    layout=None: auto (`_pick_layout(cfg)` — 'proj' unless int8 caches or
-    the fused engine are requested).
-    layout='proj': per-layer (B, S, nH*hd) lists — the raw projection
-    output, no head transpose (the (B,S,768)->(B,12,S,64) transpose moves
-    64-wide minor chunks at ~20 GB/s, ~17 ms/batch for 8 tensors at B=64;
-    the scan-side einsum reads the merged layout at the same rate).
+    layout=None: auto (`_pick_layout(cfg)` — 'heads' unless the fused
+    engine is requested).
     layout='heads': per-layer (B, nH, S, hd) lists for the XLA scan body.
     layout='flat': packed (nL, B, Sp, H) arrays + additive context bias for
-    the fused Pallas decode-step kernel (ops/decode_step.py)."""
+    the fused Pallas decode-step kernel (ops/decode_step.py).
+
+    A third 'proj' layout (merged projection minor, no head transpose) was
+    measured a wash at B=64 (round 3, benchmarks/ablate_cache_layout.py)
+    and deleted per the measured-loser policy (see ops/decode_step.py's
+    sibling precedent)."""
     if layout is None:
         layout = _pick_layout(cfg)
     ce = build_context_embeddings(params, images, od_ids, od_token_type_ids,
@@ -222,8 +223,7 @@ def build_decode_context(params: Params, images: jnp.ndarray,
             ps = layer["attention"]["self"]
             k = dense(ps["key"], x)[:, :S_ctx]
             v = dense(ps["value"], x)[:, :S_ctx]
-            if layout == "heads" or (layout == "proj"
-                                     and cfg.kv_cache_quant == "int8"):
+            if layout == "heads":
                 if cfg.kv_cache_quant == "int8":
                     # quantize FIRST in the projection layout (B,S,nH*hd),
                     # then transpose the int8: the head transpose then
@@ -388,8 +388,7 @@ def _decode_attention(ps: Params, x_win: jnp.ndarray,
     nb = Bb // B
     hd = H // num_heads
     A = cap_k.shape[2]
-    proj = (not quant) and k_arr.ndim == 3    # (B, S, nH*hd) 'proj' layout
-    S = k_arr.shape[1] if proj else k_arr.shape[2]
+    S = k_arr.shape[2]
 
     if "qkv_packed" in ps:       # merged projection (decode_params_cast)
         q, k_win, v_win = jnp.split(dense(ps["qkv_packed"], x_win), 3,
@@ -422,12 +421,6 @@ def _decode_attention(ps: Params, x_win: jnp.ndarray,
                          preferred_element_type=jnp.int32)
         s_ctx = s32.astype(jnp.float32) * q_scale \
             * ctx_k["scale"][:, None, :, :, 0:1]
-    elif proj:
-        # merged-minor read straight from the projection layout (same dot
-        # contraction over hd — bit-identical scores, no prefill transpose)
-        k4 = ctx_k.reshape(B, S, num_heads, hd)
-        s_ctx = jnp.einsum("bnhqd,bshd->bnhqs", q4, k4,
-                           preferred_element_type=jnp.float32)
     else:
         s_ctx = jnp.einsum("bnhqd,bhkd->bnhqk", q4, ctx_k,
                            preferred_element_type=jnp.float32)
@@ -470,11 +463,6 @@ def _decode_attention(ps: Params, x_win: jnp.ndarray,
                          preferred_element_type=jnp.int32)
         o_ctx = (o32.astype(jnp.float32) * p_scale
                  * ctx_v["scale"][:, None, :, :, 0:1])
-    elif proj:
-        v4 = ctx_v.reshape(B, S, num_heads, hd)
-        o_ctx = jnp.einsum("bnhqs,bshd->bnhqd",
-                           e_ctx5.astype(x_win.dtype), v4,
-                           preferred_element_type=jnp.float32)
     else:
         o_ctx = jnp.einsum("bnhqk,bhkd->bnhqd",
                            e_ctx5.astype(x_win.dtype), ctx_v,
@@ -544,15 +532,14 @@ def _init_caps(B: int, n_layers: int, A: int, H: int, dtype,
 
 
 def _pick_layout(cfg: ModelConfig) -> str:
-    """Cache layout for the decode engine.  Default 'heads'
-    (VITCAP_CTX_LAYOUT=proj reads the merged projection minor directly,
-    skipping the prefill head transposes — measured a WASH end-to-end at
-    B=64: XLA already hides the transposes inside the ctx jit, and the
-    in-scan merged read is ~0.1 ms/step slower; kept as a tested option
-    for other geometries).  int8 caches keep the head layout (the int8
-    transpose moves half the bytes and the in-scan int8 einsum prefers
-    it); the int8 config knob wins over the VITCAP_DECODE_FUSED env
-    opt-in (with a warning) rather than being silently dropped."""
+    """Cache layout for the decode engine.  Default 'heads'.  int8 caches
+    keep the head layout (the int8 transpose moves half the bytes and the
+    in-scan int8 einsum prefers it); the int8 config knob wins over the
+    VITCAP_DECODE_FUSED env opt-in (with a warning) rather than being
+    silently dropped.
+
+    Deleted knobs (round 4, measured-loser policy): VITCAP_CTX_LAYOUT=proj
+    (wash at B=64) and VITCAP_DECODE_UNROLL (-1%)."""
     if _use_fused_decode():
         if cfg.kv_cache_quant != "none":
             import logging
@@ -562,22 +549,7 @@ def _pick_layout(cfg: ModelConfig) -> str:
                 cfg.kv_cache_quant)
             return "heads"
         return "flat"
-    if cfg.kv_cache_quant != "none":
-        return "heads"
-    import os
-    return os.environ.get("VITCAP_CTX_LAYOUT", "heads")
-
-
-def _scan_unroll() -> int:
-    """Decode-scan unroll factor (VITCAP_DECODE_UNROLL, default 1).
-    Unrolling lets XLA's scheduler start the next step's context-cache
-    DMAs during the current step's small matmul/bookkeeping chain — the
-    step is latency-bound, not bandwidth-bound (see STATUS int8 notes)."""
-    import os
-    try:
-        return max(1, int(os.environ.get("VITCAP_DECODE_UNROLL", "1")))
-    except ValueError:
-        return 1
+    return "heads"
 
 
 def _use_fused_decode() -> bool:
@@ -798,7 +770,7 @@ def generate_greedy(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
         return (tokens, unfin, sum_lp, cnt, caches, seen, r), (score, nxt)
 
     (tokens, unfin, sum_lp, cnt, *_), (step_scores, raw_tokens) = \
-        jax.lax.scan(step, carry, jnp.arange(1, A), unroll=_scan_unroll())
+        jax.lax.scan(step, carry, jnp.arange(1, A))
     # force EOS on unfinished at max length (reference :884-886)
     tokens = tokens.at[:, A - 1].set(
         jnp.where(unfin > 0, cfg.sep_token_id, tokens[:, A - 1]))
@@ -1017,7 +989,7 @@ def generate_beam(params: Params, images: jnp.ndarray, od_ids: jnp.ndarray,
                 r), None
 
     carry, _ = jax.lax.scan(step, carry, jnp.arange(1, A),
-                            unroll=_scan_unroll())
+                            )
     (_, _, hs, ht, hl, hn, _, _, _, _) = carry
 
     # final selection: top-K hyps by normalized score; append EOS

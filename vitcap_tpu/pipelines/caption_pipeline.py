@@ -741,8 +741,14 @@ class CaptionUniPipeline(UniPipeline):
         # cache the jitted decode across predict_iter calls: a fresh
         # closure per call would RE-TRACE the whole decode graph (tens of
         # seconds of host work) every predict, even with the persistent
-        # XLA cache serving the compile
-        jit_key = (repr(cfg), repr(opts))
+        # XLA cache serving the compile.  The decode graph also depends on
+        # trace-time env knobs (VITCAP_DECODE_FUSED engine choice,
+        # VITCAP_PALLAS attention backend), so they join the key — flipping
+        # them between predicts in one process must invalidate the cache
+        import os
+        jit_key = (repr(cfg), repr(opts),
+                   os.environ.get("VITCAP_DECODE_FUSED", "0"),
+                   os.environ.get("VITCAP_PALLAS", "auto"))
         cached = getattr(self, "_predict_jit", None)
         if cached is not None and cached[0] == jit_key:
             run = cached[1]
