@@ -78,7 +78,10 @@ def _batch_norm(x, p, act=True, eps=_EPS):
     xf = x.astype(jnp.float32)
     axes = tuple(range(x.ndim - 1))
     mean = jnp.mean(xf, axes)
-    var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)   # biased
+    # centered two-pass variance: E[x^2]-E[x]^2 cancels catastrophically
+    # (and can go slightly negative -> rsqrt NaN) for channels whose mean
+    # dwarfs the spread; torch computes the centered form too
+    var = jnp.mean(jnp.square(xf - mean), axes)               # biased
     n = 1
     for i in axes:
         n *= x.shape[i]
@@ -144,7 +147,18 @@ _TRAIN_MODE = None
 
 
 class zoo_train_mode:
-    """Context manager enabling reference train() semantics for the zoo."""
+    """Context manager enabling reference train() semantics for the zoo.
+
+    The mode is TRACE-time state (a module global), not runtime state:
+    a jitted callable bakes in whichever mode was active when it was
+    first traced, and its jit cache key does NOT include the mode.  Any
+    jitted function used inside this context must therefore be defined
+    (or at least first called) inside it — reusing a callable already
+    traced in eval mode silently keeps eval semantics (and vice versa).
+    The tests' pattern — `jax.jit` the `with zoo_train_mode(...)` body
+    itself — is the supported one.  The global is also per-process, not
+    per-thread; don't trace zoo models concurrently from threads with
+    different modes."""
 
     def __init__(self, rng=None, momentum=0.1, drop_path_rate=0.0,
                  drop_rate=0.0):
