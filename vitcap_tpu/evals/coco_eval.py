@@ -85,6 +85,11 @@ def evaluate_on_coco_caption(predict_tsv: str, gt_file: str,
     result["_impl"]["paraphrase_sensitivity"] = {
         "METEOR": [round(m_par_off, 6), round(result["METEOR"], 6)]}
     result["_impl"]["synonym_coverage"] = synonym_coverage(vocab)
+    # MEASURED parser gap of SPICE-lite's rule-based chunker vs 50
+    # hand-written gold scene graphs (the jar's dependency parser scores
+    # ~1.0 on these by construction) — see spice.parser_deviation
+    from .spice import parser_deviation
+    result["_impl"]["spice_parser_deviation"] = parser_deviation()
     outfile = outfile or op.splitext(predict_tsv)[0] + ".report"
     with open(outfile, "w") as fp:
         json.dump(result, fp, indent=2)
