@@ -1,0 +1,217 @@
+"""Train-mode forward smoke parity over EVERY reference zoo name.
+
+VERDICT round-3 item #5: convert "every other BN family trains
+mechanically" from an inference into evidence.  For each of the 404
+vendored-timm entrypoints (reference src/pytorch_image_models/timm/models)
+this runs ONE small-input forward in `zoo_train_mode` against the torch
+model in `.train()` (drop rates 0, so the only train/eval delta is
+BatchNorm batch statistics) and checks:
+
+  * logits match torch to float tolerance, and
+  * the running-stat update produced by `bn_updated_params` matches the
+    torch buffers after the same forward (compared as sorted multisets —
+    name-level pairing is already covered by the eval parity tests).
+
+Each parametrized instance is self-contained (spot-runnable with
+`pytest -m slow -k <name>`); the full sweep is a long CI-tier run on this
+1-core host.  Reference train semantics: torch _BatchNorm (batch stats +
+momentum-blended running stats with unbiased batch variance).
+"""
+
+import importlib
+import os.path as op
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vitcap_tpu.models import registry as R
+from vitcap_tpu.models.backbones import bn_updated_params, zoo_train_mode
+
+
+def _reference_names():
+    from reference_harness import install
+    install()
+    from timm.models.registry import _model_entrypoints
+    return sorted(_model_entrypoints)
+
+
+def _entrypoint(name):
+    from reference_harness import install
+    install()
+    from timm.models.registry import _model_entrypoints
+    return _model_entrypoints[name]
+
+
+# Torch-side holes in the reference itself (not parity gaps here): the T2T
+# performer variants' token_performer.py is truncated mid-class with no
+# forward method (reference timm/models/t2t_vit/token_performer.py), so the
+# torch model cannot run.  For these, parity degrades to our-side train-mode
+# invariants (finite logits, train==eval at drop 0 for these BN-free nets).
+REFERENCE_BROKEN = {
+    "t2t_vit_7", "t2t_vit_10", "t2t_vit_12", "t2t_vit_14",
+    "t2t_vit_19", "t2t_vit_24",
+}
+
+
+def _needs_iabn(name):
+    return name.startswith("tresnet")
+
+
+def _enable_python_iabn():
+    import torch.nn.functional as F
+    import timm.models.layers.inplace_abn as iabn_mod
+
+    def _iabn(x, weight, bias, running_mean, running_var, training=True,
+              momentum=0.1, eps=1e-05, activation="leaky_relu",
+              activation_param=0.01):
+        x = F.batch_norm(x, running_mean, running_var, weight, bias,
+                         training, momentum, eps)
+        if activation == "leaky_relu":
+            x = F.leaky_relu(x, activation_param)
+        elif activation == "elu":
+            x = F.elu(x, activation_param)
+        return x
+
+    iabn_mod.inplace_abn = _iabn
+
+
+def _build_torch_train(name, img):
+    """Torch reference model in .train() with randomized running stats.
+    Returns (model, state_dict, img_used)."""
+    import torch
+    if _needs_iabn(name):
+        _enable_python_iabn()
+    fn = _entrypoint(name)
+    torch.manual_seed(0)
+    spec_img = R.model_spec(name).img_size
+    # CNN entrypoints are size-agnostic (feed any input); ViT-likes bake
+    # img_size into the pos-embed — those fall back to the spec size below.
+    tm = fn(pretrained=False)
+    used = img
+    tm.train()
+    # deterministic comparison: some families default drop_rate > 0
+    # (e.g. senet.py SENet drop_rate=0.2) and .train() would inject
+    # stochastic dropout torch-side; the BN batch-stat semantics under
+    # test are independent of dropout
+    for mod in tm.modules():
+        if isinstance(mod, torch.nn.Dropout):
+            mod.p = 0.0
+        if hasattr(mod, "drop_rate"):
+            mod.drop_rate = 0.0
+    sd = dict(tm.state_dict())
+    g = torch.Generator().manual_seed(1)
+    for k in list(sd.keys()):
+        if k.endswith("running_mean"):
+            sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+        elif k.endswith("running_var"):
+            sd[k] = 1.0 + 0.1 * torch.rand(sd[k].shape, generator=g)
+    tm.load_state_dict(sd)
+    # probe: does the torch net accept the small input?  (eval mode — a
+    # train-mode probe would blend the probe batch into the running stats)
+    tm.eval()
+    probe = torch.zeros(1, 3, used, used)
+    try:
+        with torch.no_grad():
+            tm(probe)
+    except Exception:
+        used = spec_img
+    tm.train()
+    return tm, sd, used
+
+
+def _jax_from_sd(sd, name, img):
+    import torch
+    with tempfile.TemporaryDirectory() as d:
+        pt = op.join(d, "m.pt")
+        torch.save(sd, pt)
+        return R.create_model(name, checkpoint_path=pt, img_size=img)
+
+
+def _bn_leaves(tree, path=""):
+    found = {}
+    if isinstance(tree, dict):
+        if set(tree.keys()) >= {"mean", "var", "scale", "bias"}:
+            found[path] = tree
+        else:
+            for k, v in tree.items():
+                found.update(_bn_leaves(v, f"{path}.{k}" if path else k))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            found.update(_bn_leaves(v, f"{path}.{i}"))
+    return found
+
+
+def _torch_bn_buffers(tm):
+    import torch
+    means, variances = [], []
+    for mod in tm.modules():
+        if isinstance(mod, torch.nn.modules.batchnorm._BatchNorm):
+            means.append(mod.running_mean.detach().numpy().copy())
+            variances.append(mod.running_var.detach().numpy().copy())
+    return means, variances
+
+
+def _run_one(name):
+    import torch
+    x_img = 64
+    if name in REFERENCE_BROKEN:
+        m = R.create_model(name, img_size=224)
+        x = np.random.RandomState(0).randn(2, 224, 224, 3) \
+            .astype(np.float32) * 0.5
+        with zoo_train_mode() as tmode:
+            j_train = m.apply(m.params, jnp.asarray(x), head=True)
+            bn_updated_params(m.params, tmode)
+        j_eval = m.apply(m.params, jnp.asarray(x), head=True)
+        assert np.isfinite(np.asarray(j_train)).all()
+        np.testing.assert_allclose(np.asarray(j_train), np.asarray(j_eval),
+                                   rtol=1e-6, atol=1e-6)
+        return
+
+    tm, sd, used = _build_torch_train(name, x_img)
+    m = _jax_from_sd(sd, name, used)
+    x = np.random.RandomState(0).randn(2, used, used, 3) \
+        .astype(np.float32) * 0.5
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+    if isinstance(t_out, (tuple, list)):      # distilled ViTs in train()
+        t_out = sum(o for o in t_out) / len(t_out)
+
+    with zoo_train_mode() as tmode:
+        j_out = m.apply(m.params, jnp.asarray(x), head=True)
+        new_params = bn_updated_params(m.params, tmode)
+
+    t_np = t_out.detach().numpy()
+    j_np = np.asarray(j_out, np.float32)
+    scale = max(1.0, float(np.abs(t_np).max()))
+    np.testing.assert_allclose(j_np, t_np, rtol=5e-3, atol=5e-3 * scale)
+
+    t_means, t_vars = _torch_bn_buffers(tm)
+    j_bns = _bn_leaves(new_params)
+    assert len(t_means) == len(j_bns), (name, len(t_means), len(j_bns))
+    if t_means:
+        tms = np.sort(np.concatenate(t_means).astype(np.float64))
+        jms = np.sort(np.concatenate(
+            [np.asarray(v["mean"], np.float64) for v in j_bns.values()]))
+        np.testing.assert_allclose(jms, tms, rtol=2e-3, atol=2e-4)
+        tvs = np.sort(np.concatenate(t_vars).astype(np.float64))
+        jvs = np.sort(np.concatenate(
+            [np.asarray(v["var"], np.float64) for v in j_bns.values()]))
+        np.testing.assert_allclose(jvs, tvs, rtol=2e-3, atol=2e-4)
+
+
+def _param_names():
+    try:
+        return _reference_names()
+    except Exception:                         # reference tree unavailable
+        return []
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", _param_names() or ["__reference_missing__"])
+def test_zoo_train_forward_parity(name):
+    if name == "__reference_missing__":
+        pytest.skip("reference timm tree not importable")
+    _run_one(name)
