@@ -239,6 +239,15 @@ def main():
     fl_blk = (4 * Lp * H * H + 2 * Lp * Lp * H + 2 * Lp * H * I) * 2 * B
     variants = [
         ("base            ", make_kernel(), None),
+        ("no-softmax      ", make_kernel(do_smax=False), None),
+        ("no-ln           ", make_kernel(do_ln=False), None),
+        ("no-gelu         ", make_kernel(do_gelu=False), None),
+        ("no-attn         ", make_kernel(do_attn=False), None),
+        ("headbatch       ", make_kernel(headbatch=True), None),
+        ("headbatch-T     ", make_kernel(headbatch_t=True), None),
+        ("headbatch-T-cat ", make_kernel(headbatch_t=True,
+                                         proj_mode="concat"), None),
+        ("mlp-tiles-4     ", make_kernel(mlp_tiles=4), None),
     ]
     print(f"B={B} Lp={Lp} padded-ideal/blk = {fl_blk/197e12*1e3:.2f} ms")
     for name, kern, sem in variants:
