@@ -147,6 +147,199 @@ def _block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     o_ref[0] = x + y + bfc2_ref[0].astype(x.dtype)
 
 
+def _qkv_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, o_ref, *,
+                eps: float):
+    """LN1 + fused-qkv projection -> (Lp, 3H) slab.  Pure-matmul kernel:
+    runs at tail-kernel efficiency (~70% MFU); keeping it OUT of the
+    attention kernel is the point of the split (see _split_block_fwd)."""
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = (xf - mean) * jax.lax.rsqrt(var + eps)
+    ln = (ln * lns_ref[0].astype(jnp.float32)
+          + lnb_ref[0].astype(jnp.float32)).astype(x.dtype)
+    qkv = jnp.dot(ln, wqkv_ref[:],
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+    o_ref[0] = qkv + bqkv_ref[0].astype(x.dtype)
+
+
+def _attn_perhead_kernel(slab_ref, o_ref, *, num_heads: int, l_actual: int,
+                         lp: int):
+    """12-head one-pass attention over a (Lp, 3H) qkv slab."""
+    qkv = slab_ref[0]
+    H = o_ref.shape[-1]
+    hd = H // num_heads
+    scale = hd ** -0.5
+    heads = []
+    for h in range(num_heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, H + h * hd:H + (h + 1) * hd]
+        v = qkv[:, 2 * H + h * hd:2 * H + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if l_actual < lp:
+            kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kidx < l_actual, s, NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(qkv.dtype), v,
+                    preferred_element_type=jnp.float32)
+        heads.append((o / jnp.maximum(l, 1e-30)).astype(qkv.dtype))
+    o_ref[0] = jnp.concatenate(heads, axis=-1)
+
+
+def _attn_pairbd_kernel(slab_ref, o_ref, *, num_heads: int, l_actual: int,
+                        lp: int):
+    """Two heads per matmul via block-diagonal K/V packing (hd == 64).
+
+    Per head pair: scores = [q_h q_h+1] (Lp, 128) @ K_bd^T where K_bd is
+    [[k_h, 0]; [0, k_h+1]] stacked on a 128-aligned LG-row segment stride.
+    The contraction is 128-wide (full MXU tile) at 2x the flops — which
+    equals the hd=64 half-tile intrinsic cost — but runs as 6 large
+    matmuls instead of 24 skinny ones.  Measured at the trunk shape
+    (B=64, Lp=592): 4.43 vs 4.64 ms/block per-head, outputs bit-identical
+    (benchmarks/ablate_attn2.py).  Gap rows (seg index in [l_actual, LG))
+    are masked with NEG, so padding and the gap region never contribute."""
+    qkv = slab_ref[0]
+    H = o_ref.shape[-1]
+    hd = H // num_heads
+    scale = hd ** -0.5
+    dt = qkv.dtype
+    LG = _round_up(lp, 128)
+    z = jnp.zeros((lp, hd), dt)
+    kidx2 = jax.lax.broadcasted_iota(jnp.int32, (lp, 2 * LG), 1)
+    valid = (kidx2 % LG) < l_actual
+    outs = []
+    for h in range(0, num_heads, 2):
+        q1 = qkv[:, h * hd:(h + 1) * hd]
+        q2 = qkv[:, (h + 1) * hd:(h + 2) * hd]
+        k1 = qkv[:, H + h * hd:H + (h + 1) * hd]
+        k2 = qkv[:, H + (h + 1) * hd:H + (h + 2) * hd]
+        v1 = qkv[:, 2 * H + h * hd:2 * H + (h + 1) * hd]
+        v2 = qkv[:, 2 * H + (h + 1) * hd:2 * H + (h + 2) * hd]
+        qp = jnp.concatenate([q1, q2], axis=-1)                # (Lp, 2hd)
+        seg1 = jnp.concatenate([k1, z], axis=-1)
+        seg2 = jnp.concatenate([z, k2], axis=-1)
+        if LG > lp:
+            zgap = jnp.zeros((LG - lp, 2 * hd), dt)
+            kbd = jnp.concatenate([seg1, zgap, seg2, zgap], axis=0)
+        else:
+            kbd = jnp.concatenate([seg1, seg2], axis=0)        # (2LG, 2hd)
+        s = jax.lax.dot_general(qp, kbd, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(valid, s, NEG)                           # (Lp, 2LG)
+        s1, s2 = s[:, :LG], s[:, LG:]
+        m1 = jnp.max(s1, axis=-1, keepdims=True)
+        m2 = jnp.max(s2, axis=-1, keepdims=True)
+        p1 = jnp.exp(s1 - m1)
+        p2 = jnp.exp(s2 - m2)
+        l1 = jnp.sum(p1, axis=-1, keepdims=True)
+        l2 = jnp.sum(p2, axis=-1, keepdims=True)
+        pcat = jnp.concatenate([p1, p2], axis=-1).astype(dt)
+        sv1 = jnp.concatenate([v1, z], axis=-1)
+        sv2 = jnp.concatenate([z, v2], axis=-1)
+        if LG > lp:
+            zgap = jnp.zeros((LG - lp, 2 * hd), dt)
+            vbd = jnp.concatenate([sv1, zgap, sv2, zgap], axis=0)
+        else:
+            vbd = jnp.concatenate([sv1, sv2], axis=0)
+        o = jnp.dot(pcat, vbd, preferred_element_type=jnp.float32)
+        o1 = o[:, :hd] / jnp.maximum(l1, 1e-30)
+        o2 = o[:, hd:] / jnp.maximum(l2, 1e-30)
+        outs.append(jnp.concatenate([o1, o2], axis=-1).astype(dt))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+def _tail_kernel(x_ref, attn_ref, wproj_ref, bproj_ref, ln2s_ref,
+                 ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, o_ref, *,
+                 eps: float):
+    """proj + residual + LN2 + MLP(gelu) + residual."""
+    x = x_ref[0]
+    proj = jnp.dot(attn_ref[0], wproj_ref[:],
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    x = x + proj + bproj_ref[0].astype(x.dtype)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = (xf - mean) * jax.lax.rsqrt(var + eps)
+    ln = (ln * ln2s_ref[0].astype(jnp.float32)
+          + ln2b_ref[0].astype(jnp.float32)).astype(x.dtype)
+    h = jnp.dot(ln, wfc1_ref[:],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    h = _gelu_exact(h + bfc1_ref[0].astype(x.dtype))
+    y = jnp.dot(h, wfc2_ref[:],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    o_ref[0] = x + y + bfc2_ref[0].astype(x.dtype)
+
+
+def _split_block_fwd(x: jnp.ndarray, p: Params, num_heads: int,
+                     eps: float, interpret: bool, L: int, Lp: int
+                     ) -> jnp.ndarray:
+    """Three-kernel split ViT block: [LN1+qkv] | [attention] | [tail].
+
+    The monolithic whole-block kernel schedules its attention section
+    ~2x slower when it shares the kernel with the MLP matmuls (measured:
+    5.05 ms/block mono vs 4.43 split+pairbd at B=64 Lp=592, bit-identical
+    outputs — benchmarks/ablate_split.py, ablate_attn2.py).  Splitting
+    pays two extra HBM round trips (qkv slab + attn out, ~0.3 ms/block of
+    overlappable DMA at B=64) to keep every kernel in its fast regime."""
+    B = x.shape[0]
+    H = x.shape[-1]
+    dt = x.dtype
+    I = p["mlp"]["fc1"]["kernel"].shape[1]
+    hd = H // num_heads
+    row = lambda a: a.reshape(1, -1)
+    bspec = lambda n: pl.BlockSpec((1, n), lambda b: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    wspec = lambda s: pl.BlockSpec(s, lambda b: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((1, Lp, H), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, Lp, 3 * H), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    slab = pl.pallas_call(
+        functools.partial(_qkv_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((B, Lp, 3 * H), dt),
+        grid=(B,),
+        in_specs=[xspec, bspec(H), bspec(H), wspec((H, 3 * H)),
+                  bspec(3 * H)],
+        out_specs=sspec, interpret=interpret, compiler_params=cp,
+    )(x, row(p["norm1"]["scale"]), row(p["norm1"]["bias"]),
+      p["attn"]["qkv"]["kernel"].astype(dt), row(p["attn"]["qkv"]["bias"]))
+
+    if hd == 64 and num_heads % 2 == 0:
+        attn_kern = functools.partial(_attn_pairbd_kernel,
+                                      num_heads=num_heads, l_actual=L,
+                                      lp=Lp)
+    else:
+        attn_kern = functools.partial(_attn_perhead_kernel,
+                                      num_heads=num_heads, l_actual=L,
+                                      lp=Lp)
+    attn = pl.pallas_call(
+        attn_kern, out_shape=jax.ShapeDtypeStruct((B, Lp, H), dt),
+        grid=(B,), in_specs=[sspec], out_specs=xspec, interpret=interpret,
+        compiler_params=cp)(slab)
+
+    return pl.pallas_call(
+        functools.partial(_tail_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((B, Lp, H), dt),
+        grid=(B,),
+        in_specs=[xspec, xspec, wspec((H, H)), bspec(H), bspec(H),
+                  bspec(H), wspec((H, I)), bspec(I), wspec((I, H)),
+                  bspec(H)],
+        out_specs=xspec, interpret=interpret, compiler_params=cp,
+    )(x, attn, p["attn"]["proj"]["kernel"].astype(dt),
+      row(p["attn"]["proj"]["bias"]),
+      row(p["norm2"]["scale"]), row(p["norm2"]["bias"]),
+      p["mlp"]["fc1"]["kernel"].astype(dt), row(p["mlp"]["fc1"]["bias"]),
+      p["mlp"]["fc2"]["kernel"].astype(dt), row(p["mlp"]["fc2"]["bias"]))
+
+
 def _fused_block_fwd(x: jnp.ndarray, p: Params, num_heads: int,
                      eps: float, interpret: bool,
                      l_actual: int = 0) -> jnp.ndarray:
@@ -155,7 +348,11 @@ def _fused_block_fwd(x: jnp.ndarray, p: Params, num_heads: int,
 
     l_actual > 0 marks x as ALREADY padded to a TQ multiple with l_actual
     valid rows — the caller hoisted the pad outside a block loop (a
-    pad+unpad pair costs ~0.15 ms/block at the trunk shape)."""
+    pad+unpad pair costs ~0.15 ms/block at the trunk shape).
+
+    Single-q-tile shapes (Lp <= 1024) run the three-kernel split pipeline
+    (_split_block_fwd); longer sequences keep the monolithic q-tiled
+    kernel."""
     B, L, H = x.shape
     if l_actual:
         assert L % 16 == 0 and (L <= 1024 or L % TQ == 0), \
@@ -167,6 +364,9 @@ def _fused_block_fwd(x: jnp.ndarray, p: Params, num_heads: int,
         pad = Lp - L
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    if Lp <= 1024:
+        out = _split_block_fwd(x, p, num_heads, eps, interpret, L, Lp)
+        return out[:, :L] if pad else out
     dt = x.dtype
     kern = functools.partial(_block_kernel, num_heads=num_heads, eps=eps,
                              l_actual=L, lp=Lp)
