@@ -11,7 +11,11 @@ Deltas attribute the step: bwd = grad - loss_fwd, optimizer+clip =
 step - grad, probes = step+probes - step.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python
-benchmarks/profile_train_phases.py [batch] [remat(0|1)]
+benchmarks/profile_train_phases.py [batch] [remat(0|1)] [phase]
+
+phase in {enc, loss, grad, step, probes, all} — run ONE phase per process
+when HBM is tight (each live jitted executable pins its buffers; enc +
+loss + grad together exhaust the 16 GB chip at B=64 remat-off).
 """
 
 import sys
@@ -57,40 +61,54 @@ def main():
         token_type_ids=jnp.zeros((B, T), jnp.int32),
         seq_a_len=jnp.full((B,), cfg.max_seq_a_len, jnp.int32),
         seq_len=jnp.full((B,), T, jnp.int32),
-        masked_pos=jnp.zeros((B, T), jnp.int32).at[:, 1].set(1),
-        masked_ids=jnp.zeros((B, T), jnp.int32),
+        masked_pos=jnp.zeros((B, T), jnp.int32).at[:, 1].set(1)
+        .at[:, 3].set(1),
+        masked_ids=jnp.zeros((B, cfg.max_masked_tokens), jnp.int32)
+        .at[:, 0].set(7).at[:, 1].set(9),
         label=jnp.zeros((B, cfg.tag_vocab_size), jnp.float32)
-              .at[:, :5].set(1.0),
+        .at[:, 3].set(1.0),
     )
     img_bf = batch["image"].astype(jnp.bfloat16)
 
-    print(f"B={B} remat={remat}", flush=True)
-
-    enc = jax.jit(lambda p, im: M.encode_images(p, im, cfg)["visual"])
-    t = timeit(lambda: enc(params, img_bf), lambda o: o[:1, :1, :1])
-    print(f"  encode_fwd : {t*1e3:7.1f} ms  ({B/t:6.1f} img/s)", flush=True)
-
+    phase = sys.argv[3] if len(sys.argv) > 3 else "all"
+    print(f"B={B} remat={remat} phase={phase}", flush=True)
     key = jax.random.PRNGKey(2)
-    lossf = jax.jit(lambda p, b, k: M.forward_train(p, b, cfg, rng=k)[0])
-    t = timeit(lambda: lossf(params, batch, key), lambda o: o)
-    print(f"  loss_fwd   : {t*1e3:7.1f} ms  ({B/t:6.1f} img/s)", flush=True)
 
-    gradf = jax.jit(jax.value_and_grad(
-        lambda p, b, k: M.forward_train(p, b, cfg, rng=k)[0]))
-    t = timeit(lambda: gradf(params, batch, key),
-               lambda o: o[0])
-    print(f"  grad       : {t*1e3:7.1f} ms  ({B/t:6.1f} img/s)", flush=True)
+    if phase in ("enc", "all"):
+        enc = jax.jit(lambda p, im: M.encode_images(p, im, cfg)["visual"])
+        t = timeit(lambda: enc(params, img_bf), lambda o: o[:1, :1, :1])
+        print(f"  encode_fwd : {t*1e3:7.1f} ms  ({B/t:6.1f} img/s)",
+              flush=True)
 
-    step = make_jitted_train_step(cfg, hyper)
-    st = state
-    def run_step(with_probes):
-        nonlocal st
-        st, m = step(st, batch, with_probes)
-        return m
-    t = timeit(lambda: run_step(False), lambda m: m["loss"])
-    print(f"  step       : {t*1e3:7.1f} ms  ({B/t:6.1f} img/s)", flush=True)
-    t = timeit(lambda: run_step(True), lambda m: m["loss"])
-    print(f"  step+probes: {t*1e3:7.1f} ms  ({B/t:6.1f} img/s)", flush=True)
+    if phase in ("loss", "all"):
+        lossf = jax.jit(lambda p, b, k: M.forward_train(p, b, cfg,
+                                                        rng=k)[0])
+        t = timeit(lambda: lossf(params, batch, key), lambda o: o)
+        print(f"  loss_fwd   : {t*1e3:7.1f} ms  ({B/t:6.1f} img/s)",
+              flush=True)
+
+    if phase in ("grad", "all"):
+        gradf = jax.jit(jax.value_and_grad(
+            lambda p, b, k: M.forward_train(p, b, cfg, rng=k)[0]))
+        t = timeit(lambda: gradf(params, batch, key), lambda o: o[0])
+        print(f"  grad       : {t*1e3:7.1f} ms  ({B/t:6.1f} img/s)",
+              flush=True)
+
+    if phase in ("step", "probes", "all"):
+        step = make_jitted_train_step(cfg, hyper)
+        st = state
+        def run_step(with_probes):
+            nonlocal st
+            st, m = step(st, batch, with_probes)
+            return m
+        if phase in ("step", "all"):
+            t = timeit(lambda: run_step(False), lambda m: m["loss"])
+            print(f"  step       : {t*1e3:7.1f} ms  ({B/t:6.1f} img/s)",
+                  flush=True)
+        if phase in ("probes", "all"):
+            t = timeit(lambda: run_step(True), lambda m: m["loss"])
+            print(f"  step+probes: {t*1e3:7.1f} ms  ({B/t:6.1f} img/s)",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -432,3 +432,139 @@ class TestKernelDropout:
                                deterministic=False) ** 2)
         g = jax.grad(loss)(q)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestPackedPairKernels:
+    """dh == 64 routes the packed fwd/bwd through the pair-blockdiagonal
+    kernels (_fwd_packed_pair_kernel / _bwd_packed_pair_kernel): two heads
+    per matmul with [[k1,0];[0,k2]] K/V packing.  None of the other packed
+    tests hit dh == 64, so this class locks in that path."""
+
+    def _qkv(self, B=2, L=90, H=256, seed=0):
+        rs = np.random.RandomState(seed)
+        return tuple(jnp.asarray(rs.randn(B, L, H), jnp.float32)
+                     for _ in range(3))
+
+    def test_pair_forward_matches_xla(self):
+        from vitcap_tpu.models.layers import mha
+        from vitcap_tpu.ops.flash_attention import flash_attention_packed
+        q, k, v = self._qkv()                     # nh=4, dh=64 -> pair
+        ref = mha(q, k, v, 4, deterministic=True)
+        out = flash_attention_packed(q, k, v, None,
+                                     jnp.asarray(0, jnp.int32), 4, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_pair_forward_matches_xla_with_bias(self):
+        from vitcap_tpu.models.layers import mha
+        from vitcap_tpu.ops.flash_attention import flash_attention_packed
+        q, k, v = self._qkv(seed=1)
+        rs = np.random.RandomState(2)
+        B, L = q.shape[0], q.shape[1]
+        bias = jnp.asarray(
+            np.where(rs.rand(B, 1, L, L) < 0.25, -10000.0, 0.0),
+            jnp.float32)
+        ref = mha(q, k, v, 4, bias=bias, deterministic=True)
+        out = flash_attention_packed(q, k, v, bias,
+                                     jnp.asarray(0, jnp.int32), 4, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_pair_backward_matches_xla(self):
+        from vitcap_tpu.models.layers import mha
+        from vitcap_tpu.ops.flash_attention import flash_attention_packed
+        q, k, v = self._qkv(seed=3)
+
+        def loss_pal(q, k, v):
+            return jnp.sum(flash_attention_packed(
+                q, k, v, None, jnp.asarray(0, jnp.int32), 4, True) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(mha(q, k, v, 4, deterministic=True) ** 2)
+
+        gp = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_pair_dropout_matches_perhead(self, monkeypatch):
+        """The pair kernels generate per-segment dropout masks with the
+        SAME (seed, global-head) salt and (Lp, Lp) lattice as the
+        per-head kernels, so forward outputs AND gradients must match the
+        per-head path draw-for-draw (finite differences are too noisy in
+        f32 at this shape to prove this — direct cross-layout comparison
+        is exact)."""
+        import vitcap_tpu.ops.flash_attention as fa
+        B, L, H, nh = 2, 90, 256, 4               # dh=64 -> pair kernels
+        rs = np.random.RandomState(5)
+        q, k, v = (jnp.asarray(rs.randn(B, L, H), jnp.float32)
+                   for _ in range(3))
+        co = jnp.asarray(rs.randn(B, L, H), jnp.float32)
+        s = jnp.asarray(11, jnp.int32)
+
+        def f(q, k, v):
+            return jnp.sum(co * fa.flash_attention_packed(
+                q, k, v, None, s, nh, True, 0.3))
+
+        out_pair = fa.flash_attention_packed(q, k, v, None, s, nh, True,
+                                             0.3)
+        g_pair = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        monkeypatch.setattr(fa, "_fwd_packed_pair_kernel",
+                            fa._fwd_packed_kernel)
+        monkeypatch.setattr(fa, "_bwd_packed_pair_kernel",
+                            fa._bwd_packed_kernel)
+        out_ph = fa.flash_attention_packed(q, k, v, None, s, nh, True,
+                                           0.3)
+        g_ph = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        np.testing.assert_allclose(np.asarray(out_pair),
+                                   np.asarray(out_ph),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(g_pair, g_ph):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_train_forward_hoisted_padding_matches_xla(monkeypatch):
+    """With the packed train backend active, split_encoder pre-pads the
+    trunk token axis once (l_actual plumbed through vit_block -> mha ->
+    the packed kernels) instead of per-block pad/unpad.  Loss and grads
+    must match the plain-XLA train forward."""
+    from vitcap_tpu.models.config import tiny_config
+    from vitcap_tpu.models import vitcap as M
+    cfg = tiny_config(hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0,
+                      num_attention_heads=2, hidden_size=64,
+                      intermediate_size=128)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    B, T = 2, cfg.max_seq_len
+    batch = dict(
+        image=jnp.asarray(rs.randn(B, cfg.img_size, cfg.img_size, 3),
+                          jnp.float32),
+        input_ids=jnp.asarray(rs.randint(1, cfg.vocab_size, (B, T)),
+                              jnp.int32),
+        token_type_ids=jnp.zeros((B, T), jnp.int32),
+        seq_a_len=jnp.full((B,), cfg.max_seq_a_len, jnp.int32),
+        seq_len=jnp.full((B,), T, jnp.int32),
+        masked_pos=jnp.zeros((B, T), jnp.int32).at[:, 1].set(1),
+        masked_ids=jnp.zeros((B, cfg.max_masked_tokens), jnp.int32)
+        .at[:, 0].set(5),
+        label=jnp.zeros((B, cfg.tag_vocab_size), jnp.float32)
+        .at[:, 1].set(1.0),
+    )
+
+    def loss(p):
+        return M.forward_train(p, batch, cfg, rng=None)[0]
+
+    l_ref, g_ref = jax.value_and_grad(loss)(params)
+    monkeypatch.setenv("VITCAP_TRAIN_PALLAS", "interpret")
+    l_pal, g_pal = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=2e-4)
+    from jax.flatten_util import ravel_pytree
+    flat_r, _ = ravel_pytree(g_ref)
+    flat_p, _ = ravel_pytree(g_pal)
+    np.testing.assert_allclose(np.asarray(flat_p), np.asarray(flat_r),
+                               rtol=5e-3, atol=1e-4)

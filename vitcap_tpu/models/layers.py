@@ -102,8 +102,12 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
         bias: Optional[jnp.ndarray] = None,
         dropout_rate: float = 0.0, rng: Optional[jax.Array] = None,
         deterministic: bool = True,
-        scores_dtype=None) -> jnp.ndarray:
+        scores_dtype=None, l_actual: int = 0) -> jnp.ndarray:
     """q:(B,Lq,H) k/v:(B,Lk,H) bias:(B,1|nh,Lq,Lk) additive -> (B,Lq,H).
+
+    l_actual > 0: inputs are pre-padded on the token axis (16-aligned)
+    with that many valid rows — only supported on the packed-kernel train
+    path (the caller hoists padding outside its block loop).
 
     Self-attention (Lq == Lk) without attention-prob dropout routes to the
     fused Pallas flash kernel on TPU (ops.flash_attention); everything else
@@ -142,11 +146,14 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
                         jax.random.bits(rng, (), jnp.uint32), jnp.int32)
                     return flash_attention_packed(
                         q, k, v, bias, seed, num_heads,
-                        tb == "pallas_interpret", float(dropout_rate))
+                        tb == "pallas_interpret", float(dropout_rate),
+                        l_actual)
                 return flash_attention_packed(q, k, v, bias,
                                               jnp.zeros((), jnp.int32),
                                               num_heads,
-                                              tb == "pallas_interpret")
+                                              tb == "pallas_interpret",
+                                              0.0, l_actual)
+        assert not l_actual, "pre-padded mha requires the packed backend"
         if backend != "xla" and not use_dropout:
             from ..ops.flash_attention import flash_attention
             qh = q.reshape(B, Lq, num_heads, hd).transpose(0, 2, 1, 3)
@@ -188,12 +195,13 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
 
 def vit_attention(p: Params, x: jnp.ndarray, num_heads: int,
                   bias: Optional[jnp.ndarray] = None,
-                  scores_dtype=None) -> jnp.ndarray:
+                  scores_dtype=None, l_actual: int = 0) -> jnp.ndarray:
     """Fused-qkv attention (reference vision_transformer.py:161-210)."""
     B, L, H = x.shape
     qkv = dense(p["qkv"], x)               # (B, L, 3H)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    out = mha(q, k, v, num_heads, bias, scores_dtype=scores_dtype)
+    out = mha(q, k, v, num_heads, bias, scores_dtype=scores_dtype,
+              l_actual=l_actual)
     return dense(p["proj"], out)
 
 
@@ -203,9 +211,9 @@ def vit_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 def _vit_block_xla(p: Params, x: jnp.ndarray, num_heads: int, ln_eps: float,
                    bias: Optional[jnp.ndarray] = None,
-                   scores_dtype=None) -> jnp.ndarray:
+                   scores_dtype=None, l_actual: int = 0) -> jnp.ndarray:
     x = x + vit_attention(p["attn"], layer_norm(p["norm1"], x, ln_eps),
-                          num_heads, bias, scores_dtype)
+                          num_heads, bias, scores_dtype, l_actual)
     x = x + vit_mlp(p["mlp"], layer_norm(p["norm2"], x, ln_eps))
     return x
 
@@ -231,8 +239,10 @@ def vit_block(p: Params, x: jnp.ndarray, num_heads: int, ln_eps: float,
             from ..ops.fused_block import fused_vit_block
             return fused_vit_block(p, x, num_heads, ln_eps,
                                    backend == "pallas_interpret", l_actual)
-    assert not l_actual, "pre-padded input requires the fused backend"
-    return _vit_block_xla(p, x, num_heads, ln_eps, bias, scores_dtype)
+    # l_actual on the XLA chain is only valid when mha will route to the
+    # packed train kernels (which mask the padded keys); mha asserts that.
+    return _vit_block_xla(p, x, num_heads, ln_eps, bias, scores_dtype,
+                          l_actual)
 
 
 def vit_block_cls_only(p: Params, x: jnp.ndarray, num_heads: int,

@@ -228,7 +228,16 @@ def split_encoder(params: Params, visual_in: jnp.ndarray, cfg: ModelConfig
             backend = "pallas_interpret" if interp else "pallas"
     from ..ops.fused_block import pad_len
     L_true = visual_in.shape[1]
-    pad = (pad_len(L_true) - L_true) if fused else 0
+    # the packed-kernel TRAIN path also benefits from one hoisted pad:
+    # per-block pad+unpad copies (q/k/v/g in fwd+bwd autodiff) cost
+    # ~0.8 ms/block at the trunk train shape.  Padded keys are masked
+    # inside the packed kernels via l_actual; padded rows carry finite
+    # garbage that is sliced off after the loop.
+    packed_train = False
+    if not fused:
+        from ..ops import train_attention_backend
+        packed_train = train_attention_backend() != "xla"
+    pad = (pad_len(L_true) - L_true) if (fused or packed_train) else 0
     l_actual = L_true if pad else 0
 
     if train_fused:
@@ -267,7 +276,8 @@ def split_encoder(params: Params, visual_in: jnp.ndarray, cfg: ModelConfig
                 x = x[:, :L_true]
             x = _filter_tokens_by_attention(blk, x, cfg)
             L_true = x.shape[1]
-            pad = (pad_len(L_true) - L_true) if fused else 0
+            pad = (pad_len(L_true) - L_true) if (fused or packed_train) \
+                else 0
             l_actual = L_true if pad else 0
             if pad:
                 x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))

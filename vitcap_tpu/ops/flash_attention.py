@@ -416,6 +416,148 @@ def _fwd_packed_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *,
         o_ref[0, :, sl] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _fwd_packed_pair_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref,
+                            o_ref, *, heads: int, dh: int, scale: float,
+                            l_actual: int, lp: int, rate: float, nh: int,
+                            hpg: int):
+    """Pair-blockdiagonal variant of _fwd_packed_kernel (dh == 64, heads
+    even): two heads per matmul via [[k1,0];[0,k2]] K/V packing, so every
+    dot has a full 128-wide contraction/minor instead of 64 (the skinny
+    per-head dots are MXU-tile-bound at 50%).  2x the flops at equal
+    intrinsic cost, but 3 large dots per pair instead of 6 skinny ones.
+    Dropout lattices are generated per head segment with the SAME
+    (seed, ghead) salt and (Lp, Lp) shape as the per-head kernel, so
+    fwd/bwd mask regeneration is layout-independent."""
+    dt = o_ref.dtype
+    for hp in range(0, heads, 2):
+        sl1 = slice(hp * dh, (hp + 1) * dh)
+        sl2 = slice((hp + 1) * dh, (hp + 2) * dh)
+        q1, q2 = q_ref[0, :, sl1], q_ref[0, :, sl2]
+        k1, k2 = k_ref[0, :, sl1], k_ref[0, :, sl2]
+        v1, v2 = v_ref[0, :, sl1], v_ref[0, :, sl2]
+        z = jnp.zeros((lp, dh), k1.dtype)
+        qp = jnp.concatenate([q1, q2], axis=-1)                # (Lp, 2dh)
+        kbd = jnp.concatenate(
+            [jnp.concatenate([k1, z], axis=-1),
+             jnp.concatenate([z, k2], axis=-1)], axis=0)       # (2Lp, 2dh)
+        s = jax.lax.dot_general(
+            qp, kbd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale        # (Lp, 2Lp)
+        if bias_ref is not None:
+            b = bias_ref[0, 0].astype(jnp.float32)
+            s = s + jnp.concatenate([b, b], axis=-1)
+        if l_actual < lp:
+            kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where((kidx % lp) < l_actual, s, NEG)
+        s1, s2 = s[:, :lp], s[:, lp:]
+        m1 = jnp.max(s1, axis=-1, keepdims=True)
+        m2 = jnp.max(s2, axis=-1, keepdims=True)
+        p1 = jnp.exp(s1 - m1)
+        p2 = jnp.exp(s2 - m2)
+        l1 = jnp.sum(p1, axis=-1, keepdims=True)
+        l2 = jnp.sum(p2, axis=-1, keepdims=True)
+        if rate > 0.0:
+            g0 = pl.program_id(0) * nh + pl.program_id(1) * hpg + hp
+            seed = seed_ref[0].astype(jnp.uint32)
+            inv = 1.0 / (1.0 - rate)
+            keep1 = _dropout_keep(seed, jnp.int32(g0), rate, p1.shape)
+            keep2 = _dropout_keep(seed, jnp.int32(g0 + 1), rate, p2.shape)
+            p1 = jnp.where(keep1, p1, 0.0) * inv
+            p2 = jnp.where(keep2, p2, 0.0) * inv
+        pcat = jnp.concatenate([p1, p2], axis=-1).astype(dt)
+        vbd = jnp.concatenate(
+            [jnp.concatenate([v1, z], axis=-1),
+             jnp.concatenate([z, v2], axis=-1)], axis=0)       # (2Lp, 2dh)
+        o = jnp.dot(pcat, vbd, preferred_element_type=jnp.float32)
+        o_ref[0, :, sl1] = (o[:, :dh] / jnp.maximum(l1, 1e-30)).astype(dt)
+        o_ref[0, :, sl2] = (o[:, dh:] / jnp.maximum(l2, 1e-30)).astype(dt)
+
+
+def _bwd_packed_pair_kernel(q_ref, k_ref, v_ref, g_ref, bias_ref, seed_ref,
+                            dq_ref, dk_ref, dv_ref, *, heads: int, dh: int,
+                            scale: float, l_actual: int, lp: int,
+                            rate: float, nh: int, hpg: int):
+    """Pair-blockdiagonal one-pass backward: same packing as the pair
+    forward; all five dots (recompute scores, dV, dP, dQ, dK) run with
+    128-wide contraction/minor.  The zero blocks in the packed K/V kill
+    every cross-pair term, and garbage halves of the packed dV/dK outputs
+    are simply not written back.  Math mirrors _bwd_packed_kernel
+    line-for-line per segment."""
+    dt = dq_ref.dtype
+    for hp in range(0, heads, 2):
+        sl1 = slice(hp * dh, (hp + 1) * dh)
+        sl2 = slice((hp + 1) * dh, (hp + 2) * dh)
+        q1, q2 = q_ref[0, :, sl1], q_ref[0, :, sl2]
+        k1, k2 = k_ref[0, :, sl1], k_ref[0, :, sl2]
+        v1, v2 = v_ref[0, :, sl1], v_ref[0, :, sl2]
+        g1, g2 = g_ref[0, :, sl1], g_ref[0, :, sl2]
+        z = jnp.zeros((lp, dh), k1.dtype)
+        qp = jnp.concatenate([q1, q2], axis=-1)
+        gp = jnp.concatenate([g1, g2], axis=-1)
+        kbd = jnp.concatenate(
+            [jnp.concatenate([k1, z], axis=-1),
+             jnp.concatenate([z, k2], axis=-1)], axis=0)
+        vbd = jnp.concatenate(
+            [jnp.concatenate([v1, z], axis=-1),
+             jnp.concatenate([z, v2], axis=-1)], axis=0)
+        s = jax.lax.dot_general(
+            qp, kbd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale        # (Lp, 2Lp)
+        if bias_ref is not None:
+            b = bias_ref[0, 0].astype(jnp.float32)
+            s = s + jnp.concatenate([b, b], axis=-1)
+        if l_actual < lp:
+            kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where((kidx % lp) < l_actual, s, NEG)
+        s1, s2 = s[:, :lp], s[:, lp:]
+        m1 = jnp.max(s1, axis=-1, keepdims=True)
+        m2 = jnp.max(s2, axis=-1, keepdims=True)
+        e1 = jnp.exp(s1 - m1)
+        e2 = jnp.exp(s2 - m2)
+        l1 = jnp.sum(e1, axis=-1, keepdims=True)
+        l2 = jnp.sum(e2, axis=-1, keepdims=True)
+        p1 = e1 / jnp.maximum(l1, 1e-30)
+        p2 = e2 / jnp.maximum(l2, 1e-30)
+        if rate > 0.0:
+            g0 = pl.program_id(0) * nh + pl.program_id(1) * hpg + hp
+            seed = seed_ref[0].astype(jnp.uint32)
+            inv = 1.0 / (1.0 - rate)
+            keep1 = _dropout_keep(seed, jnp.int32(g0), rate, p1.shape)
+            keep2 = _dropout_keep(seed, jnp.int32(g0 + 1), rate, p2.shape)
+            pd1 = jnp.where(keep1, p1, 0.0) * inv
+            pd2 = jnp.where(keep2, p2, 0.0) * inv
+        else:
+            pd1, pd2 = p1, p2
+        pdcat = jnp.concatenate([pd1, pd2], axis=-1).astype(v1.dtype)
+        dvbd = jax.lax.dot_general(
+            pdcat, gp, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (2Lp, 2dh)
+        dv_ref[0, :, sl1] = dvbd[:lp, :dh].astype(dt)
+        dv_ref[0, :, sl2] = dvbd[lp:, dh:].astype(dt)
+        dp = jax.lax.dot_general(
+            gp, vbd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (Lp, 2Lp)
+        dp1, dp2 = dp[:, :lp], dp[:, lp:]
+        if rate > 0.0:
+            dp1 = jnp.where(keep1, dp1, 0.0) * inv
+            dp2 = jnp.where(keep2, dp2, 0.0) * inv
+        r1 = jnp.sum(dp1 * p1, axis=-1, keepdims=True)
+        r2 = jnp.sum(dp2 * p2, axis=-1, keepdims=True)
+        ds1 = (p1 * (dp1 - r1))
+        ds2 = (p2 * (dp2 - r2))
+        dscat = jnp.concatenate([ds1, ds2], axis=-1).astype(q1.dtype)
+        dqp = jax.lax.dot_general(
+            dscat, kbd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (Lp, 2dh)
+        dq_ref[0, :, sl1] = (dqp[:, :dh] * scale).astype(dt)
+        dq_ref[0, :, sl2] = (dqp[:, dh:] * scale).astype(dt)
+        dkbd = jax.lax.dot_general(
+            dscat, qp, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (2Lp, 2dh)
+        dk_ref[0, :, sl1] = (dkbd[:lp, :dh] * scale).astype(dt)
+        dk_ref[0, :, sl2] = (dkbd[lp:, dh:] * scale).astype(dt)
+
+
 def _bwd_packed_kernel(q_ref, k_ref, v_ref, g_ref, bias_ref, seed_ref,
                        dq_ref, dk_ref, dv_ref, *, heads: int, dh: int,
                        scale: float, l_actual: int, lp: int, rate: float,
@@ -486,15 +628,28 @@ def _seed_spec(ng):
     return pl.BlockSpec((1,), lambda b, g: (0,), memory_space=pltpu.SMEM)
 
 
-def _flash_fwd_packed(q, k, v, bias, seed, nh, interpret, rate=0.0):
-    """q/k/v: (B, L, H=nh*dh); bias None or (B, 1, L, L) per-image."""
+def _flash_fwd_packed(q, k, v, bias, seed, nh, interpret, rate=0.0,
+                      l_actual=0):
+    """q/k/v: (B, L, H=nh*dh); bias None or (B, 1, L, L) per-image.
+
+    l_actual > 0: the token axis is ALREADY padded (16-aligned) with that
+    many valid rows — the caller hoisted the pad outside its block loop
+    (per-call pad+unpad copies cost ~0.8 ms/block at the trunk train
+    shape).  Packed kernels run whole-Lp single-tile dots, so 16 (bf16
+    sublane) alignment suffices — 577 runs at 592 rows, not 640."""
     B, L, H = q.shape
     dh = H // nh
     scale = dh ** -0.5
-    Lp = _round_up(L, TK)
-    q, k, v = (_packed_pad(a, Lp) for a in (q, k, v))
-    if bias is not None and Lp > L:
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Lp - L), (0, Lp - L)))
+    if l_actual:
+        assert L % 16 == 0, "pre-padded input must be 16-aligned"
+        Lp = L
+        L = l_actual
+    else:
+        Lp = _round_up(L, 16)
+        q, k, v = (_packed_pad(a, Lp) for a in (q, k, v))
+        if bias is not None and Lp > L:
+            bias = jnp.pad(bias,
+                           ((0, 0), (0, 0), (0, Lp - L), (0, Lp - L)))
     # head-group size: >4 unrolled full-matrix heads per cell explodes the
     # Mosaic program (the 12-head variant hung the remote compiler)
     hpg = min(4, nh)
@@ -503,7 +658,9 @@ def _flash_fwd_packed(q, k, v, bias, seed, nh, interpret, rate=0.0):
     ng = nh // hpg
     Hg = hpg * dh
     spec, bspec = _packed_specs(B, Lp, H, ng, Hg, bias, hpg)
-    kern = functools.partial(_fwd_packed_kernel, heads=hpg, dh=dh,
+    base = _fwd_packed_pair_kernel if (dh == 64 and hpg % 2 == 0) \
+        else _fwd_packed_kernel
+    kern = functools.partial(base, heads=hpg, dh=dh,
                              scale=scale, l_actual=L, lp=Lp, rate=rate,
                              nh=nh, hpg=hpg)
 
@@ -529,17 +686,25 @@ def _flash_fwd_packed(q, k, v, bias, seed, nh, interpret, rate=0.0):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
+    if l_actual:
+        return out                      # caller slices once, outside loop
     return out[:, :L] if Lp > L else out
 
 
-def _flash_bwd_packed(q, k, v, bias, seed, g, nh, interpret, rate=0.0):
+def _flash_bwd_packed(q, k, v, bias, seed, g, nh, interpret, rate=0.0,
+                      l_actual=0):
     B, L, H = q.shape
     dh = H // nh
     scale = dh ** -0.5
-    Lp = _round_up(L, TK)
-    q, k, v, g = (_packed_pad(a, Lp) for a in (q, k, v, g))
-    if bias is not None and Lp > L:
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Lp - L), (0, Lp - L)))
+    if l_actual:
+        Lp = L
+        L = l_actual
+    else:
+        Lp = _round_up(L, 16)
+        q, k, v, g = (_packed_pad(a, Lp) for a in (q, k, v, g))
+        if bias is not None and Lp > L:
+            bias = jnp.pad(bias,
+                           ((0, 0), (0, 0), (0, Lp - L), (0, Lp - L)))
     # 7 resident blocks (4 in + 3 out) and a heavier per-head body than
     # the forward: keep the unroll at 2 heads per cell
     hpg = min(2, nh)
@@ -548,7 +713,9 @@ def _flash_bwd_packed(q, k, v, bias, seed, g, nh, interpret, rate=0.0):
     ng = nh // hpg
     Hg = hpg * dh
     spec, bspec = _packed_specs(B, Lp, H, ng, Hg, bias, hpg)
-    kern = functools.partial(_bwd_packed_kernel, heads=hpg, dh=dh,
+    base = _bwd_packed_pair_kernel if (dh == 64 and hpg % 2 == 0) \
+        else _bwd_packed_kernel
+    kern = functools.partial(base, heads=hpg, dh=dh,
                              scale=scale, l_actual=L, lp=Lp, rate=rate,
                              nh=nh, hpg=hpg)
 
@@ -575,14 +742,15 @@ def _flash_bwd_packed(q, k, v, bias, seed, g, nh, interpret, rate=0.0):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
-    if Lp > L:
+    if not l_actual and Lp > L:
         dq, dk, dv = dq[:, :L], dk[:, :L], dv[:, :L]
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def flash_attention_packed(q, k, v, bias, seed, num_heads,
-                           interpret=False, dropout_rate=0.0):
+                           interpret=False, dropout_rate=0.0,
+                           l_actual=0):
     """Packed-layout fused attention: q/k/v (B, L, H), bias None or
     (B, 1, L, L) additive, seed an int32 scalar array (ignored when
     dropout_rate == 0), returns (B, L, H).  No head transposes touch HBM
@@ -593,21 +761,25 @@ def flash_attention_packed(q, k, v, bias, seed, num_heads,
     BertSelfAttention modeling_bert.py:139-141) INSIDE the kernel via a
     counter-based hash seeded by `seed`: the backward regenerates the
     identical mask, so no (B, nh, L, L) mask or prob tensor ever exists
-    in HBM."""
+    in HBM.
+
+    l_actual > 0 marks the inputs as already 16-aligned-padded with that
+    many valid rows; the (B, Lpadded, H) output is returned unsliced."""
     return _flash_fwd_packed(q, k, v, bias, seed, num_heads, interpret,
-                             dropout_rate)
+                             dropout_rate, l_actual)
 
 
-def _packed_fwd(q, k, v, bias, seed, num_heads, interpret, dropout_rate):
+def _packed_fwd(q, k, v, bias, seed, num_heads, interpret, dropout_rate,
+                l_actual):
     out = _flash_fwd_packed(q, k, v, bias, seed, num_heads, interpret,
-                            dropout_rate)
+                            dropout_rate, l_actual)
     return out, (q, k, v, bias, seed)
 
 
-def _packed_bwd(num_heads, interpret, dropout_rate, res, gout):
+def _packed_bwd(num_heads, interpret, dropout_rate, l_actual, res, gout):
     q, k, v, bias, seed = res
     dq, dk, dv = _flash_bwd_packed(q, k, v, bias, seed, gout, num_heads,
-                                   interpret, dropout_rate)
+                                   interpret, dropout_rate, l_actual)
     import numpy as _np
     dseed = _np.zeros(seed.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, (None if bias is None else jnp.zeros_like(bias)), \
