@@ -87,6 +87,60 @@ def main():
         print(f"  loss_fwd   : {t*1e3:7.1f} ms  ({B/t:6.1f} img/s)",
               flush=True)
 
+    if phase == "loss_nodrop":
+        # dropout cost isolation: rng=None -> deterministic forward
+        lossf = jax.jit(lambda p, b: M.forward_train(p, b, cfg,
+                                                     rng=None)[0])
+        t = timeit(lambda: lossf(params, batch), lambda o: o)
+        print(f"  loss_nodrop: {t*1e3:7.1f} ms  ({B/t:6.1f} img/s)",
+              flush=True)
+
+    if phase == "fusion":
+        # text embed + fusion decoder + heads/losses, vision REUSED from a
+        # precomputed encode (isolates the non-vision forward)
+        enc = jax.jit(lambda p, im: M.encode_images(p, im, cfg))
+        enc_out = jax.tree.map(jnp.asarray, enc(params, img_bf))
+        jax.block_until_ready(enc_out)
+
+        def tail(p, b, e, k):
+            import jax as _jax
+            from vitcap_tpu.models.vitcap import (
+                embed_text_with_tags, seq2seq_text_mask,
+                decoder_bias_from_text_mask, fusion_decoder,
+                _masked_positions, caption_logits, label_smoothed_kl,
+                focal_tag_loss)
+            r_emb, r_dec = _jax.random.split(k)
+            text_emb = embed_text_with_tags(
+                p, b["input_ids"], b.get("token_type_ids"), None,
+                e["pred_topk"], cfg, r_emb, False)
+            seq = jnp.concatenate(
+                [text_emb, e["tag_cls"].astype(text_emb.dtype),
+                 e["visual"].astype(text_emb.dtype)], axis=1)
+            text_mask = seq2seq_text_mask(b["seq_a_len"], b["seq_len"],
+                                          cfg)
+            bias = decoder_bias_from_text_mask(
+                text_mask, seq.shape[1] - cfg.max_seq_len)
+            hidden = fusion_decoder(p, seq, bias, cfg, r_dec, False)
+            midx, mvalid = _masked_positions(b["masked_pos"],
+                                             cfg.max_masked_tokens)
+            gathered = jnp.take_along_axis(hidden, midx[..., None],
+                                           axis=1)
+            class_logits = caption_logits(p, gathered, cfg)
+            weight = ((b["masked_ids"] != 0) & mvalid).astype(jnp.float32)
+            loss = label_smoothed_kl(
+                class_logits.reshape(-1, class_logits.shape[-1]),
+                b["masked_ids"].reshape(-1), weight.reshape(-1),
+                cfg.label_smoothing)
+            return loss + cfg.tag_loss_weight * focal_tag_loss(
+                e["tag_logits"], b["label"], cfg.focal_alpha,
+                cfg.focal_gamma)
+
+        tailf = jax.jit(tail)
+        t = timeit(lambda: tailf(params, batch, enc_out, key),
+                   lambda o: o)
+        print(f"  fusion_tail: {t*1e3:7.1f} ms  ({B/t:6.1f} img/s)",
+              flush=True)
+
     if phase in ("grad", "all"):
         gradf = jax.jit(jax.value_and_grad(
             lambda p, b, k: M.forward_train(p, b, cfg, rng=k)[0]))

@@ -527,17 +527,23 @@ class TestPackedPairKernels:
                                        rtol=1e-4, atol=1e-4)
 
 
-def test_train_forward_hoisted_padding_matches_xla(monkeypatch):
+@pytest.mark.parametrize("img", [32, 128])
+def test_train_forward_hoisted_padding_matches_xla(monkeypatch, img):
     """With the packed train backend active, split_encoder pre-pads the
     trunk token axis once (l_actual plumbed through vit_block -> mha ->
     the packed kernels) instead of per-block pad/unpad.  Loss and grads
-    must match the plain-XLA train forward."""
+    must match the plain-XLA train forward.
+
+    img=128 additionally drives the fusion sequence past 64 tokens
+    (65 visual + 17 text = 82 -> padded to 96), engaging the round-5
+    fusion_decoder pad hoist (seq + bias padded ONCE outside the 4-layer
+    loop, l_actual plumbed through bert_layer)."""
     from vitcap_tpu.models.config import tiny_config
     from vitcap_tpu.models import vitcap as M
     cfg = tiny_config(hidden_dropout_prob=0.0,
                       attention_probs_dropout_prob=0.0,
                       num_attention_heads=2, hidden_size=64,
-                      intermediate_size=128)
+                      intermediate_size=128, img_size=img)
     params = M.init_params(jax.random.PRNGKey(0), cfg)
     rs = np.random.RandomState(0)
     B, T = 2, cfg.max_seq_len

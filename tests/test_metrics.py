@@ -299,6 +299,32 @@ def test_spice_parser_deviation_measured():
     assert d["f1"] >= 0.8, d
 
 
+def test_spice_parser_deviation_heldout():
+    """VERDICT r4 item #7: out-of-sample deviation on 25 gold sentences
+    written AFTER the round-4 chunker rules froze.  These sentences never
+    drive rule changes; the number is published as-is next to the
+    in-sample dev figure (measured r5: heldout F1 0.853 vs dev 0.977 —
+    the honest generalization bound)."""
+    import json
+    import os.path as op
+    from vitcap_tpu.evals import spice as S
+    path = op.join(op.dirname(S.__file__), "data",
+                   "spice_gold_tuples_heldout.json")
+    items = json.load(open(path))["items"]
+    assert len(items) == 25
+    for it in items:
+        assert it["caption"].strip()
+        for t in it["tuples"]:
+            assert 1 <= len(t) <= 3 and all(
+                isinstance(s, str) and s for s in t)
+    d = S.parser_deviation("heldout")
+    assert d["n_sentences"] == 25 and d["n_gold_tuples"] > 100
+    assert 0.0 < d["precision"] <= 1.0 and 0.0 < d["recall"] <= 1.0
+    # sanity floor only — a collapse below this means the parser broke,
+    # not that the held-out set got harder
+    assert d["f1"] >= 0.6, d
+
+
 def test_synonym_sensitivity_band():
     """use_synonyms=False must never score higher (synonyms only ADD
     matches) — the [no_syn, syn] pair is the published sensitivity band."""
@@ -375,6 +401,9 @@ def test_report_carries_band_and_coverage(tmp_path):
     assert 0.0 <= cov["coverage"] <= 1.0 and cov["n_content"] > 0
     dev = r["_impl"]["spice_parser_deviation"]
     assert {"precision", "recall", "f1", "n_sentences"} <= set(dev)
+    ho = r["_impl"]["spice_parser_deviation_heldout"]
+    assert {"precision", "recall", "f1", "n_sentences"} <= set(ho)
+    assert ho["n_sentences"] == 25
     # report round-trips as json
     rep = json.load(open(str(tmp_path / "pred.report")))
     assert rep["_impl"]["synonym_sensitivity"] == band

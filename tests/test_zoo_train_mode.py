@@ -143,6 +143,22 @@ class TestTrainForwardParity:
     def test_regnety_004_train(self):
         self._compare("regnety_004", "regnet")
 
+    # VERDICT r4 item #8: grad-level train parity for three more families —
+    # sknet (whose train-mode forward failed the r4 sweep), densenet
+    # (dense concat topology), and a NASNet-class cell net.
+
+    @pytest.mark.slow
+    def test_skresnet50_train(self):
+        self._compare("skresnet50", "sknet")
+
+    @pytest.mark.slow
+    def test_densenet121_train(self):
+        self._compare("densenet121", "densenet")
+
+    @pytest.mark.slow
+    def test_pnasnet5large_train(self):
+        self._compare("pnasnet5large", "pnasnet", img=96)
+
 
 class TestHybridStemTrain:
     """vit_small_resnet26d_224: the BN resnet-d stem under the ViT runs on

@@ -85,11 +85,15 @@ def evaluate_on_coco_caption(predict_tsv: str, gt_file: str,
     result["_impl"]["paraphrase_sensitivity"] = {
         "METEOR": [round(m_par_off, 6), round(result["METEOR"], 6)]}
     result["_impl"]["synonym_coverage"] = synonym_coverage(vocab)
-    # MEASURED parser gap of SPICE-lite's rule-based chunker vs 50
+    # MEASURED parser gap of SPICE-lite's rule-based chunker vs
     # hand-written gold scene graphs (the jar's dependency parser scores
-    # ~1.0 on these by construction) — see spice.parser_deviation
+    # ~1.0 on these by construction) — see spice.parser_deviation.
+    # 'dev' is in-sample (the rules' development set); 'heldout' is the
+    # out-of-sample bound (25 sentences written after the rules froze).
     from .spice import parser_deviation
-    result["_impl"]["spice_parser_deviation"] = parser_deviation()
+    result["_impl"]["spice_parser_deviation"] = parser_deviation("dev")
+    result["_impl"]["spice_parser_deviation_heldout"] = \
+        parser_deviation("heldout")
     outfile = outfile or op.splitext(predict_tsv)[0] + ".report"
     with open(outfile, "w") as fp:
         json.dump(result, fp, indent=2)

@@ -13,6 +13,8 @@ Behavioral references (math only, re-implemented):
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -153,7 +155,11 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
                                               num_heads,
                                               tb == "pallas_interpret",
                                               0.0, l_actual)
-        assert not l_actual, "pre-padded mha requires the packed backend"
+        if l_actual:
+            # survives python -O (unlike assert): pad rows would be read
+            # as real keys by every non-packed path below
+            raise ValueError("pre-padded mha (l_actual > 0) requires the "
+                             "packed train kernels; backend routing drift")
         if backend != "xla" and not use_dropout:
             from ..ops.flash_attention import flash_attention
             qh = q.reshape(B, Lq, num_heads, hd).transpose(0, 2, 1, 3)
@@ -347,17 +353,63 @@ def patchify_host(image_hwc, patch: int):
     return np.ascontiguousarray(x).reshape(gh * gw, patch * patch * C)
 
 
+@functools.lru_cache(maxsize=64)
+def _torch_bicubic_matrix(in_size: int, out_size: int):
+    """Row (out, in) weight matrix reproducing torch
+    ``F.interpolate(mode='bicubic', align_corners=False)`` exactly:
+    cubic-convolution kernel A=-0.75, half-pixel source centers
+    (src = (dst+0.5)*in/out - 0.5), clamped border reads, and NO
+    antialiasing — unlike ``jax.image.resize``, which uses the A=-0.5
+    Keys kernel and antialiases on downscale (the two deviate by
+    ~1e-1 at 224-ckpt -> 64-input geometry)."""
+    import numpy as np
+    A = -0.75
+
+    def w1(x):                       # |x| <= 1
+        return ((A + 2) * x - (A + 3)) * x * x + 1
+
+    def w2(x):                       # 1 < |x| < 2
+        return ((A * x - 5 * A) * x + 8 * A) * x - 4 * A
+
+    scale = in_size / out_size
+    W = np.zeros((out_size, in_size), np.float64)
+    for i in range(out_size):
+        real = (i + 0.5) * scale - 0.5
+        j = int(np.floor(real))
+        t = real - j
+        for k, c in enumerate((w2(t + 1.0), w1(t), w1(1.0 - t),
+                               w2(2.0 - t))):
+            W[i, min(max(j - 1 + k, 0), in_size - 1)] += c
+    return W.astype(np.float32)
+
+
+def torch_bicubic_resize_2d(grid: jnp.ndarray,
+                            new_hw: Tuple[int, int]) -> jnp.ndarray:
+    """(H, W, C) -> (h, w, C) torch-bicubic resize as two small matmuls;
+    weight matrices are built host-side at trace time (grid sizes are
+    static under jit), so the device op is pure MXU work."""
+    H, W, C = grid.shape
+    h, w = new_hw
+    if (H, W) == (h, w):
+        return grid
+    mh = jnp.asarray(_torch_bicubic_matrix(H, h))
+    mw = jnp.asarray(_torch_bicubic_matrix(W, w))
+    out = jnp.einsum("hH,HWC->hWC", mh, grid.astype(jnp.float32))
+    out = jnp.einsum("wW,hWC->hwC", mw, out)
+    return out.astype(grid.dtype)
+
+
 def interpolate_pos_embed(pos_embed: jnp.ndarray, new_grid: Tuple[int, int],
                           old_grid: Tuple[int, int]) -> jnp.ndarray:
-    """Bicubic grid-pos-embed resize keeping the CLS slot
+    """Bicubic grid-pos-embed resize keeping the CLS slot, matching torch
+    F.interpolate bicubic semantics bit-for-bit at f32
     (reference vision_transformer.py:416-421)."""
     if new_grid == old_grid:
         return pos_embed
     cls_pe, grid_pe = pos_embed[:, :1], pos_embed[:, 1:]
     H = pos_embed.shape[-1]
     grid_pe = grid_pe.reshape(old_grid[0], old_grid[1], H)
-    grid_pe = jax.image.resize(grid_pe, (new_grid[0], new_grid[1], H),
-                               method="bicubic")
+    grid_pe = torch_bicubic_resize_2d(grid_pe, new_grid)
     grid_pe = grid_pe.reshape(1, new_grid[0] * new_grid[1], H)
     return jnp.concatenate([cls_pe, grid_pe], axis=1)
 
@@ -412,7 +464,7 @@ def bert_self_attention(p: Params, x: jnp.ndarray, bias: jnp.ndarray,
                         attn_dropout: float = 0.0,
                         rng: Optional[jax.Array] = None,
                         deterministic: bool = True,
-                        scores_dtype=None) -> jnp.ndarray:
+                        scores_dtype=None, l_actual: int = 0) -> jnp.ndarray:
     """Separate q/k/v projections; kv_input (defaults to x) supports the
     decode path where keys/values cover history + current tokens
     (reference modeling_bert.py:275-343)."""
@@ -421,7 +473,7 @@ def bert_self_attention(p: Params, x: jnp.ndarray, bias: jnp.ndarray,
     k = dense(p["key"], kv)
     v = dense(p["value"], kv)
     return mha(q, k, v, num_heads, bias, attn_dropout, rng, deterministic,
-               scores_dtype)
+               scores_dtype, l_actual=l_actual)
 
 
 def bert_layer(p: Params, x: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
@@ -429,13 +481,19 @@ def bert_layer(p: Params, x: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
                hidden_dropout: float = 0.0, attn_dropout: float = 0.0,
                rng: Optional[jax.Array] = None,
                deterministic: bool = True,
-               scores_dtype=None) -> jnp.ndarray:
+               scores_dtype=None, l_actual: int = 0) -> jnp.ndarray:
     """Post-norm BERT layer (reference modeling_bert.py:422-437).
 
     On TPU inference traces the plain self-attention path (no kv_input, no
     dropout) routes to the fused Pallas kernel (ops/fused_block.py
-    fused_bert_block) — the decode-prefill hot block."""
+    fused_bert_block) — the decode-prefill hot block.
+
+    l_actual > 0: x AND bias are pre-padded on the token axis (16-aligned)
+    with that many valid rows — the caller hoisted the pad outside its
+    layer loop (fusion_decoder).  Only valid with the packed train
+    kernels, which mask the padded keys; mha raises otherwise."""
     if (kv_input is None and bias is not None and x.shape[1] >= 64
+            and not l_actual
             and (deterministic or rng is None
                  or (hidden_dropout == 0.0 and attn_dropout == 0.0))):
         from ..ops import attention_backend
@@ -446,7 +504,7 @@ def bert_layer(p: Params, x: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
                                     backend == "pallas_interpret")
     return _bert_layer_xla(p, x, bias, num_heads, ln_eps, kv_input,
                            hidden_dropout, attn_dropout, rng, deterministic,
-                           scores_dtype)
+                           scores_dtype, l_actual)
 
 
 def _bert_layer_xla(p: Params, x: jnp.ndarray, bias: jnp.ndarray,
@@ -455,14 +513,14 @@ def _bert_layer_xla(p: Params, x: jnp.ndarray, bias: jnp.ndarray,
                     hidden_dropout: float = 0.0, attn_dropout: float = 0.0,
                     rng: Optional[jax.Array] = None,
                     deterministic: bool = True,
-                    scores_dtype=None) -> jnp.ndarray:
+                    scores_dtype=None, l_actual: int = 0) -> jnp.ndarray:
     if rng is not None:
         r1, r2, r3 = jax.random.split(rng, 3)
     else:
         r1 = r2 = r3 = None
     attn = bert_self_attention(p["attention"]["self"], x, bias, num_heads,
                                kv_input, attn_dropout, r1, deterministic,
-                               scores_dtype)
+                               scores_dtype, l_actual)
     attn = dense(p["attention"]["output"]["dense"], attn)
     attn = dropout(attn, hidden_dropout, r2, deterministic)
     x = layer_norm(p["attention"]["output"]["LayerNorm"], attn + x, ln_eps)

@@ -43,8 +43,8 @@ from typing import Any, Callable, Dict, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .layers import (dense, layer_norm, vision_embed,
-                     vit_block)
+from .layers import (dense, layer_norm, torch_bicubic_resize_2d,
+                     vision_embed, vit_block)
 
 Params = Dict[str, Any]
 
@@ -2473,9 +2473,9 @@ def vit_forward(params: Params, images: jnp.ndarray,
         if old_n != N:
             g_old, g_new = int(old_n ** 0.5), int(N ** 0.5)
             lead_pe, grid_pe = pe[:, :lead], pe[:, lead:]
-            grid_pe = jax.image.resize(
+            grid_pe = torch_bicubic_resize_2d(
                 grid_pe.reshape(g_old, g_old, H),
-                (g_new, g_new, H), method="bicubic").reshape(1, N, H)
+                (g_new, g_new)).reshape(1, N, H)
             pe = jnp.concatenate([lead_pe, grid_pe], axis=1)
         x = x + pe.astype(x.dtype)
     else:
@@ -2930,12 +2930,11 @@ def load_timm_checkpoint(params: Params, path: str,
                 lead = spec.num_lead_tokens
                 old = int(round((arr.shape[1] - lead) ** 0.5))
                 head_pe = jnp.asarray(arr[:, :lead])
-                grid_pe = jax.image.resize(
+                grid_pe = torch_bicubic_resize_2d(
                     jnp.asarray(arr[:, lead:]).reshape(
                         old, old, arr.shape[-1]),
-                    (spec.grid, spec.grid, arr.shape[-1]),
-                    method="bicubic").reshape(1, spec.grid ** 2,
-                                              arr.shape[-1])
+                    (spec.grid, spec.grid)).reshape(1, spec.grid ** 2,
+                                                    arr.shape[-1])
                 arr = np.asarray(jnp.concatenate([head_pe, grid_pe], 1))
         return jnp.asarray(arr, jnp.float32)
 

@@ -405,20 +405,39 @@ def embed_text_with_tags(params: Params, input_ids: jnp.ndarray,
 def fusion_decoder(params: Params, seq: jnp.ndarray, bias: jnp.ndarray,
                    cfg: ModelConfig, rng: Optional[jax.Array] = None,
                    deterministic: bool = True) -> jnp.ndarray:
+    # hoist the packed-kernel token-axis pad (e.g. 648 -> 656) out of the
+    # layer loop: per-layer, mha would otherwise pad q/k/v AND the
+    # (B,1,L,L) bias on every call in fwd and bwd (~0.9/1.2 ms per layer
+    # at the flagship train shape).  Padded rows carry finite garbage
+    # (masked as attention keys inside the kernels), sliced off after the
+    # loop.  Predicate mirrors mha's packed-path routing exactly.
+    L = seq.shape[1]
+    l_actual = 0
+    if L >= 64 and L % 16 and bias is not None and bias.shape[1] == 1:
+        from ..ops import attention_backend, train_attention_backend
+        if (attention_backend() == "xla"
+                and train_attention_backend() != "xla"):
+            Lp = (L + 15) // 16 * 16
+            seq = jnp.pad(seq, ((0, 0), (0, Lp - L), (0, 0)))
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Lp - L),
+                                  (0, Lp - L)))
+            l_actual = L
+
     def layer_fn(layer, x, bias, lrng):
         return bert_layer(layer, x, bias, cfg.num_attention_heads,
                           cfg.bert_layer_norm_eps,
                           hidden_dropout=cfg.hidden_dropout_prob,
                           attn_dropout=cfg.attention_probs_dropout_prob,
                           rng=lrng, deterministic=deterministic,
-                          scores_dtype=cfg.attention_scores_dtype)
+                          scores_dtype=cfg.attention_scores_dtype,
+                          l_actual=l_actual)
     if cfg.use_remat:
         layer_fn = jax.checkpoint(layer_fn)
     x = seq
     for li, layer in enumerate(params["decoder"]["layer"]):
         lrng = jax.random.fold_in(rng, li) if rng is not None else None
         x = layer_fn(layer, x, bias, lrng)
-    return x
+    return x[:, :L] if l_actual else x
 
 
 def caption_logits(params: Params, hidden: jnp.ndarray, cfg: ModelConfig

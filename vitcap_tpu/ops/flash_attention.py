@@ -641,7 +641,8 @@ def _flash_fwd_packed(q, k, v, bias, seed, nh, interpret, rate=0.0,
     dh = H // nh
     scale = dh ** -0.5
     if l_actual:
-        assert L % 16 == 0, "pre-padded input must be 16-aligned"
+        if L % 16:
+            raise ValueError("pre-padded input must be 16-aligned")
         Lp = L
         L = l_actual
     else:
@@ -697,6 +698,8 @@ def _flash_bwd_packed(q, k, v, bias, seed, g, nh, interpret, rate=0.0,
     dh = H // nh
     scale = dh ** -0.5
     if l_actual:
+        if L % 16:
+            raise ValueError("pre-padded input must be 16-aligned")
         Lp = L
         L = l_actual
     else:

@@ -346,17 +346,18 @@ def _fused_block_fwd(x: jnp.ndarray, p: Params, num_heads: int,
     """Full-block fusion entry: p is a ViT block param tree
     {'norm1','attn':{'qkv','proj'},'norm2','mlp':{'fc1','fc2'}}.
 
-    l_actual > 0 marks x as ALREADY padded to a TQ multiple with l_actual
-    valid rows — the caller hoisted the pad outside a block loop (a
-    pad+unpad pair costs ~0.15 ms/block at the trunk shape).
+    l_actual > 0 marks x as ALREADY padded to pad_len (16-aligned for
+    L <= 1024, e.g. 577 -> 592; TQ-aligned beyond) with l_actual valid
+    rows — the caller hoisted the pad outside a block loop (a pad+unpad
+    pair costs ~0.15 ms/block at the trunk shape).
 
     Single-q-tile shapes (Lp <= 1024) run the three-kernel split pipeline
     (_split_block_fwd); longer sequences keep the monolithic q-tiled
     kernel."""
     B, L, H = x.shape
     if l_actual:
-        assert L % 16 == 0 and (L <= 1024 or L % TQ == 0), \
-            "pre-padded input must be pad_len-aligned"
+        if L % 16 or (L > 1024 and L % TQ):
+            raise ValueError("pre-padded input must be pad_len-aligned")
         Lp, pad = L, 0
         L = l_actual
     else:
@@ -836,8 +837,9 @@ def fused_vit_block(p_block: Params, x: jnp.ndarray, num_heads: int,
     """One whole ViT block (attention + MLP halves) as a single Pallas
     kernel.  Same outputs as models.layers.vit_block (bias-free,
     dropout-free path) to compute-dtype tolerance.  l_actual > 0: x is
-    pre-padded to a TQ multiple with that many valid rows (pad hoisted
-    outside the caller's block loop)."""
+    pre-padded to pad_len (16-aligned for L <= 1024, TQ-aligned beyond)
+    with that many valid rows (pad hoisted outside the caller's block
+    loop)."""
     return _fused_block_fwd(x, p_block, num_heads, ln_eps, interpret,
                             l_actual)
 
