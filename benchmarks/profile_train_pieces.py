@@ -93,8 +93,11 @@ def main():
         x0 = jnp.asarray(rs.randn(B, Lp, H), dt)
         blocks = params["encoder"]["blocks"]
 
-        def trunk(x):
-            for blk in blocks:
+        # blocks must be jit ARGUMENTS: closing over them ships the whole
+        # param tree as compile-payload constants and the remote compiler
+        # rejects the request (HTTP 413)
+        def trunk(bs, x):
+            for blk in bs:
                 x = Ly.vit_block(blk, x, cfg.num_attention_heads,
                                  cfg.vit_layer_norm_eps,
                                  scores_dtype=cfg.attention_scores_dtype,
@@ -102,13 +105,9 @@ def main():
             return x
 
         if piece in ("trunk12", "all"):
-            # chain=1: the 12-block chain is CSE-proof by itself, and a
-            # 48-block program overflows the remote compiler's request
-            # limit (HTTP 413)
-            @jax.jit
-            def f(x):
-                return trunk(x)
-            run("trunk12", lambda: f(x0), lambda o: o[:1, :1, :1],
+            # chain=1: the 12-block chain is CSE-proof by itself
+            f = jax.jit(trunk)
+            run("trunk12", lambda: f(blocks, x0), lambda o: o[:1, :1, :1],
                 chain=1)
 
         if piece in ("trunk12_bwd", "all"):
@@ -116,48 +115,46 @@ def main():
             # ~20 GB of saved activations; the 12-block chain itself is
             # CSE-proof
             @jax.jit
-            def g(x):
+            def g(bs, x):
                 def loss(xx):
-                    return (trunk(xx).astype(jnp.float32) ** 2).mean()
+                    return (trunk(bs, xx).astype(jnp.float32) ** 2).mean()
                 return jax.grad(loss)(x)
-            run("trunk12+bwd", lambda: g(x0), lambda o: o[:1, :1, :1],
-                chain=1)
+            run("trunk12+bwd", lambda: g(blocks, x0),
+                lambda o: o[:1, :1, :1], chain=1)
 
     if piece in ("tagsel", "all"):
         tcls = jnp.asarray(rs.randn(B, 1, H), dt)
 
         @jax.jit
-        def f(t):
+        def f(p, t):
             acc = 0.0
             for _ in range(CHAIN):
-                logits = M.tag_logits_from_hidden(params, t, cfg)
+                logits = M.tag_logits_from_hidden(p, t, cfg)
                 topk, probs, n = M.select_tags(logits, cfg)
                 acc = acc + probs.sum() + topk.sum()
                 t = t + acc * 1e-12
             return acc
-        run("tagsel", lambda: f(tcls))
+        run("tagsel", lambda: f(params, tcls))
 
-    if piece in ("bert4", "bert4_bwd", "all"):
+    if piece in ("bert4", "bert4_bwd", "bert4h", "bert4h_bwd", "all"):
         S = cfg.max_seq_len + 1 + cfg.num_visual_tokens     # 648
         seq0 = jnp.asarray(rs.randn(B, S, H), dt)
         bias = jnp.asarray(
             np.where(rs.rand(B, 1, S, S) > 0.1, 0.0, -1e4), jnp.float32)
         layers = params["decoder"]["layer"]
 
-        def bert(x):
-            for layer in layers:
-                x = Ly.bert_layer(layer, x, bias,
+        def bert(ls, x, b):
+            for layer in ls:
+                x = Ly.bert_layer(layer, x, b,
                                   cfg.num_attention_heads,
                                   cfg.bert_layer_norm_eps,
                                   scores_dtype=cfg.attention_scores_dtype)
             return x
 
         if piece in ("bert4", "all"):
-            @jax.jit
-            def f(x):
-                return bert(x)
-            run("bert4", lambda: f(seq0), lambda o: o[:1, :1, :1],
-                chain=1)
+            f = jax.jit(bert)
+            run("bert4", lambda: f(layers, seq0, bias),
+                lambda o: o[:1, :1, :1], chain=1)
 
         if piece in ("bert4h", "bert4h_bwd", "all"):
             # the round-5 hoist: pre-padded 656 input + bias, l_actual
@@ -166,9 +163,9 @@ def main():
             biasp = jnp.pad(bias, ((0, 0), (0, 0), (0, Sp - S),
                                    (0, Sp - S)))
 
-            def berth(x):
-                for layer in layers:
-                    x = Ly.bert_layer(layer, x, biasp,
+            def berth(ls, x, b):
+                for layer in ls:
+                    x = Ly.bert_layer(layer, x, b,
                                       cfg.num_attention_heads,
                                       cfg.bert_layer_norm_eps,
                                       scores_dtype=cfg
@@ -177,30 +174,29 @@ def main():
                 return x
 
             if piece in ("bert4h", "all"):
-                @jax.jit
-                def fh(x):
-                    return berth(x)
-                run("bert4hoist", lambda: fh(seqp),
+                fh = jax.jit(berth)
+                run("bert4hoist", lambda: fh(layers, seqp, biasp),
                     lambda o: o[:1, :1, :1], chain=1)
 
             if piece in ("bert4h_bwd", "all"):
                 @jax.jit
-                def gh(x):
+                def gh(ls, x, b):
                     def loss(xx):
-                        return (berth(xx)[:, :S].astype(jnp.float32)
-                                ** 2).mean()
+                        return (berth(ls, xx, b)[:, :S]
+                                .astype(jnp.float32) ** 2).mean()
                     return jax.grad(loss)(x)
-                run("bert4h+bwd", lambda: gh(seqp),
+                run("bert4h+bwd", lambda: gh(layers, seqp, biasp),
                     lambda o: o[:1, :1, :1], chain=1)
 
         if piece in ("bert4_bwd", "all"):
             @jax.jit
-            def g(x):
+            def g(ls, x, b):
                 def loss(xx):
-                    return (bert(xx).astype(jnp.float32) ** 2).mean()
+                    return (bert(ls, xx, b).astype(jnp.float32)
+                            ** 2).mean()
                 return jax.grad(loss)(x)
-            run("bert4+bwd", lambda: g(seq0), lambda o: o[:1, :1, :1],
-                chain=1)
+            run("bert4+bwd", lambda: g(layers, seq0, bias),
+                lambda o: o[:1, :1, :1], chain=1)
 
     if piece in ("lmhead", "all"):
         T = cfg.max_seq_len
@@ -210,13 +206,13 @@ def main():
             .at[:, 0].set(7).at[:, 1].set(9)
 
         @jax.jit
-        def f(h):
+        def f(p, h):
             acc = 0.0
             for _ in range(CHAIN):
                 midx, mvalid = M._masked_positions(mpos,
                                                    cfg.max_masked_tokens)
                 gathered = jnp.take_along_axis(h, midx[..., None], axis=1)
-                logits = M.caption_logits(params, gathered, cfg)
+                logits = M.caption_logits(p, gathered, cfg)
                 w = ((mids != 0) & mvalid).astype(jnp.float32)
                 loss = M.label_smoothed_kl(
                     logits.reshape(-1, logits.shape[-1]),
@@ -224,7 +220,7 @@ def main():
                 acc = acc + loss
                 h = h + acc * 1e-9
             return acc
-        run("lmhead", lambda: f(hid))
+        run("lmhead", lambda: f(params, hid))
 
 
 if __name__ == "__main__":

@@ -574,3 +574,86 @@ def test_train_forward_hoisted_padding_matches_xla(monkeypatch, img):
     flat_p, _ = ravel_pytree(g_pal)
     np.testing.assert_allclose(np.asarray(flat_p), np.asarray(flat_r),
                                rtol=5e-3, atol=1e-4)
+
+
+class TestSplitBlockTrain:
+    """split_vit_block_train: split-kernel forward + ANALYTIC backward
+    (no forward recompute).  Value and every grad (params, input) must
+    match the XLA train block; padded rows must get zero input-grad and
+    contribute nothing to parameter grads."""
+
+    def _block(self, H, I, nh, seed=0):
+        from vitcap_tpu.models import vitcap as M
+        from vitcap_tpu.models.config import tiny_config
+        cfg = tiny_config(hidden_size=H, intermediate_size=I,
+                          num_attention_heads=nh)
+        params = M.init_params(jax.random.PRNGKey(seed), cfg)
+        return params["encoder"]["blocks"][0], cfg.vit_layer_norm_eps
+
+    @pytest.mark.parametrize("nh,hd", [(2, 64), (4, 32)])
+    def test_padded_value_and_grads_match_xla(self, nh, hd):
+        from vitcap_tpu.models.layers import _vit_block_xla
+        from vitcap_tpu.ops.fused_block import split_vit_block_train
+        H = nh * hd
+        blk, eps = self._block(H, 4 * H, nh)
+        B, L, Lp = 2, 77, 80
+        rs = np.random.RandomState(3)
+        x = jnp.asarray(rs.randn(B, L, H), jnp.float32)
+        xp = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
+
+        out = split_vit_block_train(blk, xp, nh, eps, True, L)
+        ref = _vit_block_xla(blk, x, nh, eps)
+        np.testing.assert_allclose(np.asarray(out[:, :L]), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss_split(p, xx):
+            o = split_vit_block_train(p, xx, nh, eps, True, L)
+            return jnp.sum(o[:, :L] ** 2)
+
+        def loss_ref(p, xx):
+            return jnp.sum(_vit_block_xla(p, xx, nh, eps) ** 2)
+
+        (gp_s, gx_s) = jax.grad(loss_split, argnums=(0, 1))(blk, xp)
+        (gp_r, gx_r) = jax.grad(loss_ref, argnums=(0, 1))(blk, x)
+        np.testing.assert_allclose(np.asarray(gx_s[:, :L]),
+                                   np.asarray(gx_r), rtol=1e-4, atol=1e-4)
+        # padded rows contribute nothing and receive nothing
+        np.testing.assert_allclose(np.asarray(gx_s[:, L:]), 0.0)
+        flat_s = jax.tree_util.tree_leaves_with_path(gp_s)
+        flat_r = dict(jax.tree_util.tree_leaves_with_path(gp_r))
+        assert len(flat_s) == len(flat_r)
+        for path, a in flat_s:
+            b = flat_r[path]
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=2e-4, atol=2e-4, err_msg=str(path))
+
+    def test_unpadded_aligned(self):
+        from vitcap_tpu.models.layers import _vit_block_xla
+        from vitcap_tpu.ops.fused_block import split_vit_block_train
+        nh, H = 2, 128
+        blk, eps = self._block(H, 4 * H, nh)
+        x = jnp.asarray(np.random.RandomState(5).randn(2, 80, H),
+                        jnp.float32)
+        out = split_vit_block_train(blk, x, nh, eps, True, 0)
+        ref = _vit_block_xla(blk, x, nh, eps)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_vit_block_routes_split_train(self, monkeypatch):
+        """public vit_block with the interpret train backend + aligned
+        input routes through split_vit_block_train (grads flow, value
+        matches XLA)."""
+        from vitcap_tpu.models.layers import _vit_block_xla, vit_block
+        nh, H = 2, 128
+        blk, eps = self._block(H, 4 * H, nh)
+        x = jnp.asarray(np.random.RandomState(7).randn(2, 80, H),
+                        jnp.float32)
+        monkeypatch.setenv("VITCAP_TRAIN_PALLAS", "interpret")
+        out = vit_block(blk, x, nh, eps)
+        ref = _vit_block_xla(blk, x, nh, eps)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        g = jax.grad(lambda p: jnp.sum(vit_block(p, x, nh, eps) ** 2))(blk)
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree_util.tree_leaves(g))

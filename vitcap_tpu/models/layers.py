@@ -245,6 +245,21 @@ def vit_block(p: Params, x: jnp.ndarray, num_heads: int, ln_eps: float,
             from ..ops.fused_block import fused_vit_block
             return fused_vit_block(p, x, num_heads, ln_eps,
                                    backend == "pallas_interpret", l_actual)
+        if x.shape[1] % 16 == 0 and x.shape[1] <= 1024:
+            # gradient-carrying traces: split-kernel forward + analytic
+            # backward (r5).  The XLA + packed-mha train forward measured
+            # 6.95 ms/block at B=64 Lp=592 vs 4.43 for the split kernels;
+            # the analytic backward reuses the kernel-materialized
+            # residuals, so no forward recompute (same saved-tensor HBM
+            # as XLA autodiff).  scores_dtype is ignored exactly like the
+            # packed-mha path ignores it (f32 score accumulation).
+            from ..ops import train_attention_backend
+            tb = train_attention_backend()
+            if tb != "xla":
+                from ..ops.fused_block import split_vit_block_train
+                return split_vit_block_train(p, x, num_heads, ln_eps,
+                                             tb == "pallas_interpret",
+                                             l_actual)
     # l_actual on the XLA chain is only valid when mha will route to the
     # packed train kernels (which mask the padded keys); mha asserts that.
     return _vit_block_xla(p, x, num_heads, ln_eps, bias, scores_dtype,

@@ -425,10 +425,18 @@ def _fwd_packed_pair_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref,
     dot has a full 128-wide contraction/minor instead of 64 (the skinny
     per-head dots are MXU-tile-bound at 50%).  2x the flops at equal
     intrinsic cost, but 3 large dots per pair instead of 6 skinny ones.
-    Dropout lattices are generated per head segment with the SAME
-    (seed, ghead) salt and (Lp, Lp) shape as the per-head kernel, so
-    fwd/bwd mask regeneration is layout-independent."""
+    Segments stack on a 128-aligned LG row stride (ADVICE r4: the old lp
+    stride put every f32 score-slab slice at a lane-unaligned offset,
+    costing Mosaic relayouts; same scheme as fused_block's
+    _attn_pairbd_kernel).  Gap rows (seg index in [l_actual, LG)) are
+    masked with NEG.  Dropout lattices hash (row, col) coordinates, so
+    bits at columns < lp are identical to the per-head kernel's
+    (Lp, Lp)-shaped lattice — fwd/bwd and pair/per-head mask regeneration
+    stay layout-independent (gap columns carry p == 0)."""
     dt = o_ref.dtype
+    LG = _round_up(lp, 128)
+    kidx2 = jax.lax.broadcasted_iota(jnp.int32, (lp, 2 * LG), 1)
+    valid = (kidx2 % LG) < l_actual
     for hp in range(0, heads, 2):
         sl1 = slice(hp * dh, (hp + 1) * dh)
         sl2 = slice((hp + 1) * dh, (hp + 2) * dh)
@@ -437,19 +445,23 @@ def _fwd_packed_pair_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref,
         v1, v2 = v_ref[0, :, sl1], v_ref[0, :, sl2]
         z = jnp.zeros((lp, dh), k1.dtype)
         qp = jnp.concatenate([q1, q2], axis=-1)                # (Lp, 2dh)
-        kbd = jnp.concatenate(
-            [jnp.concatenate([k1, z], axis=-1),
-             jnp.concatenate([z, k2], axis=-1)], axis=0)       # (2Lp, 2dh)
+        seg1 = jnp.concatenate([k1, z], axis=-1)
+        seg2 = jnp.concatenate([z, k2], axis=-1)
+        if LG > lp:
+            zg = jnp.zeros((LG - lp, 2 * dh), k1.dtype)
+            kbd = jnp.concatenate([seg1, zg, seg2, zg], axis=0)
+        else:
+            kbd = jnp.concatenate([seg1, seg2], axis=0)        # (2LG, 2dh)
         s = jax.lax.dot_general(
             qp, kbd, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale        # (Lp, 2Lp)
+            preferred_element_type=jnp.float32) * scale        # (Lp, 2LG)
         if bias_ref is not None:
             b = bias_ref[0, 0].astype(jnp.float32)
+            if LG > lp:
+                b = jnp.pad(b, ((0, 0), (0, LG - lp)))
             s = s + jnp.concatenate([b, b], axis=-1)
-        if l_actual < lp:
-            kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where((kidx % lp) < l_actual, s, NEG)
-        s1, s2 = s[:, :lp], s[:, lp:]
+        s = jnp.where(valid, s, NEG)
+        s1, s2 = s[:, :LG], s[:, LG:]
         m1 = jnp.max(s1, axis=-1, keepdims=True)
         m2 = jnp.max(s2, axis=-1, keepdims=True)
         p1 = jnp.exp(s1 - m1)
@@ -465,9 +477,13 @@ def _fwd_packed_pair_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref,
             p1 = jnp.where(keep1, p1, 0.0) * inv
             p2 = jnp.where(keep2, p2, 0.0) * inv
         pcat = jnp.concatenate([p1, p2], axis=-1).astype(dt)
-        vbd = jnp.concatenate(
-            [jnp.concatenate([v1, z], axis=-1),
-             jnp.concatenate([z, v2], axis=-1)], axis=0)       # (2Lp, 2dh)
+        sv1 = jnp.concatenate([v1, z], axis=-1)
+        sv2 = jnp.concatenate([z, v2], axis=-1)
+        if LG > lp:
+            zg = jnp.zeros((LG - lp, 2 * dh), v1.dtype)
+            vbd = jnp.concatenate([sv1, zg, sv2, zg], axis=0)
+        else:
+            vbd = jnp.concatenate([sv1, sv2], axis=0)          # (2LG, 2dh)
         o = jnp.dot(pcat, vbd, preferred_element_type=jnp.float32)
         o_ref[0, :, sl1] = (o[:, :dh] / jnp.maximum(l1, 1e-30)).astype(dt)
         o_ref[0, :, sl2] = (o[:, dh:] / jnp.maximum(l2, 1e-30)).astype(dt)
@@ -481,9 +497,13 @@ def _bwd_packed_pair_kernel(q_ref, k_ref, v_ref, g_ref, bias_ref, seed_ref,
     forward; all five dots (recompute scores, dV, dP, dQ, dK) run with
     128-wide contraction/minor.  The zero blocks in the packed K/V kill
     every cross-pair term, and garbage halves of the packed dV/dK outputs
-    are simply not written back.  Math mirrors _bwd_packed_kernel
-    line-for-line per segment."""
+    are simply not written back.  Segments stack on the 128-aligned LG
+    row stride (see _fwd_packed_pair_kernel); math mirrors
+    _bwd_packed_kernel line-for-line per segment."""
     dt = dq_ref.dtype
+    LG = _round_up(lp, 128)
+    kidx2 = jax.lax.broadcasted_iota(jnp.int32, (lp, 2 * LG), 1)
+    valid = (kidx2 % LG) < l_actual
     for hp in range(0, heads, 2):
         sl1 = slice(hp * dh, (hp + 1) * dh)
         sl2 = slice((hp + 1) * dh, (hp + 2) * dh)
@@ -494,22 +514,27 @@ def _bwd_packed_pair_kernel(q_ref, k_ref, v_ref, g_ref, bias_ref, seed_ref,
         z = jnp.zeros((lp, dh), k1.dtype)
         qp = jnp.concatenate([q1, q2], axis=-1)
         gp = jnp.concatenate([g1, g2], axis=-1)
-        kbd = jnp.concatenate(
-            [jnp.concatenate([k1, z], axis=-1),
-             jnp.concatenate([z, k2], axis=-1)], axis=0)
-        vbd = jnp.concatenate(
-            [jnp.concatenate([v1, z], axis=-1),
-             jnp.concatenate([z, v2], axis=-1)], axis=0)
+        seg1k = jnp.concatenate([k1, z], axis=-1)
+        seg2k = jnp.concatenate([z, k2], axis=-1)
+        seg1v = jnp.concatenate([v1, z], axis=-1)
+        seg2v = jnp.concatenate([z, v2], axis=-1)
+        if LG > lp:
+            zg = jnp.zeros((LG - lp, 2 * dh), k1.dtype)
+            kbd = jnp.concatenate([seg1k, zg, seg2k, zg], axis=0)
+            vbd = jnp.concatenate([seg1v, zg, seg2v, zg], axis=0)
+        else:
+            kbd = jnp.concatenate([seg1k, seg2k], axis=0)      # (2LG, 2dh)
+            vbd = jnp.concatenate([seg1v, seg2v], axis=0)
         s = jax.lax.dot_general(
             qp, kbd, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale        # (Lp, 2Lp)
+            preferred_element_type=jnp.float32) * scale        # (Lp, 2LG)
         if bias_ref is not None:
             b = bias_ref[0, 0].astype(jnp.float32)
+            if LG > lp:
+                b = jnp.pad(b, ((0, 0), (0, LG - lp)))
             s = s + jnp.concatenate([b, b], axis=-1)
-        if l_actual < lp:
-            kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where((kidx % lp) < l_actual, s, NEG)
-        s1, s2 = s[:, :lp], s[:, lp:]
+        s = jnp.where(valid, s, NEG)
+        s1, s2 = s[:, :LG], s[:, LG:]
         m1 = jnp.max(s1, axis=-1, keepdims=True)
         m2 = jnp.max(s2, axis=-1, keepdims=True)
         e1 = jnp.exp(s1 - m1)
@@ -531,13 +556,13 @@ def _bwd_packed_pair_kernel(q_ref, k_ref, v_ref, g_ref, bias_ref, seed_ref,
         pdcat = jnp.concatenate([pd1, pd2], axis=-1).astype(v1.dtype)
         dvbd = jax.lax.dot_general(
             pdcat, gp, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # (2Lp, 2dh)
+            preferred_element_type=jnp.float32)                # (2LG, 2dh)
         dv_ref[0, :, sl1] = dvbd[:lp, :dh].astype(dt)
-        dv_ref[0, :, sl2] = dvbd[lp:, dh:].astype(dt)
+        dv_ref[0, :, sl2] = dvbd[LG:LG + lp, dh:].astype(dt)
         dp = jax.lax.dot_general(
             gp, vbd, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                # (Lp, 2Lp)
-        dp1, dp2 = dp[:, :lp], dp[:, lp:]
+            preferred_element_type=jnp.float32)                # (Lp, 2LG)
+        dp1, dp2 = dp[:, :LG], dp[:, LG:]
         if rate > 0.0:
             dp1 = jnp.where(keep1, dp1, 0.0) * inv
             dp2 = jnp.where(keep2, dp2, 0.0) * inv
@@ -553,9 +578,9 @@ def _bwd_packed_pair_kernel(q_ref, k_ref, v_ref, g_ref, bias_ref, seed_ref,
         dq_ref[0, :, sl2] = (dqp[:, dh:] * scale).astype(dt)
         dkbd = jax.lax.dot_general(
             dscat, qp, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # (2Lp, 2dh)
+            preferred_element_type=jnp.float32)                # (2LG, 2dh)
         dk_ref[0, :, sl1] = (dkbd[:lp, :dh] * scale).astype(dt)
-        dk_ref[0, :, sl2] = (dkbd[lp:, dh:] * scale).astype(dt)
+        dk_ref[0, :, sl2] = (dkbd[LG:LG + lp, dh:] * scale).astype(dt)
 
 
 def _bwd_packed_kernel(q_ref, k_ref, v_ref, g_ref, bias_ref, seed_ref,
@@ -838,3 +863,57 @@ def _bwd(interpret, res, g):
 
 
 flash_attention.defvjp(_fwd, _bwd)
+
+
+def flash_bwd_packed_slab(slab, seed, g, nh, interpret, rate=0.0,
+                          l_actual=0):
+    """One-pass packed attention backward taking the fused (B, Lp, 3H)
+    [q|k|v] qkv SLAB directly (the split-train block's kernel-1 output):
+    the slab is passed three times with column-offset index maps, so each
+    grid cell DMAs exactly its (Lp, Hg) q/k/v triplet — no (B, Lp, H)
+    slice copies materialize in HBM (three 58 MB copies per block at the
+    trunk train shape otherwise).  Returns (dq, dk, dv) as separate
+    arrays; callers fold them into dW/dx via per-third GEMMs instead of
+    concatenating a dslab (another 174 MB round-trip saved).
+
+    Bias-free (the ViT trunk regime).  l_actual as in _flash_bwd_packed;
+    the slab must already be at its padded length."""
+    B, Lp, H3 = slab.shape
+    H = H3 // 3
+    dh = H // nh
+    scale = dh ** -0.5
+    if Lp % 16:
+        raise ValueError("slab token axis must be 16-aligned")
+    L = l_actual or Lp
+    hpg = min(2, nh)
+    while nh % hpg:
+        hpg -= 1
+    ng = nh // hpg
+    Hg = hpg * dh
+    qspec = pl.BlockSpec((1, Lp, Hg), lambda b, gi: (b, 0, gi),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, Lp, Hg), lambda b, gi: (b, 0, ng + gi),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, Lp, Hg), lambda b, gi: (b, 0, 2 * ng + gi),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, Lp, Hg), lambda b, gi: (b, 0, gi),
+                         memory_space=pltpu.VMEM)
+    base = _bwd_packed_pair_kernel if (dh == 64 and hpg % 2 == 0) \
+        else _bwd_packed_kernel
+    kern = functools.partial(base, heads=hpg, dh=dh, scale=scale,
+                             l_actual=L, lp=Lp, rate=rate, nh=nh, hpg=hpg)
+
+    def body(q_r, k_r, v_r, g_r, s_r, dq_r, dk_r, dv_r):
+        kern(q_r, k_r, v_r, g_r, None, s_r, dq_r, dk_r, dv_r)
+
+    oshape = jax.ShapeDtypeStruct((B, Lp, H), slab.dtype)
+    return pl.pallas_call(
+        body,
+        out_shape=(oshape, oshape, oshape),
+        grid=(B, ng),
+        in_specs=[qspec, kspec, vspec, ospec, _seed_spec(ng)],
+        out_specs=(ospec, ospec, ospec),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(slab, slab, slab, g, jnp.reshape(seed, (1,)).astype(jnp.int32))
