@@ -136,7 +136,8 @@ def main():
             return acc
         run("tagsel", lambda: f(params, tcls))
 
-    if piece in ("bert4", "bert4_bwd", "bert4h", "bert4h_bwd", "all"):
+    if piece in ("bert4", "bert4_bwd", "bert4h", "bert4h_bwd", "bert4s",
+                 "bert4s_bwd", "all"):
         S = cfg.max_seq_len + 1 + cfg.num_visual_tokens     # 648
         seq0 = jnp.asarray(rs.randn(B, S, H), dt)
         bias = jnp.asarray(
@@ -186,6 +187,38 @@ def main():
                                 .astype(jnp.float32) ** 2).mean()
                     return jax.grad(loss)(x)
                 run("bert4h+bwd", lambda: gh(layers, seqp, biasp),
+                    lambda o: o[:1, :1, :1], chain=1)
+
+        if piece in ("bert4s", "bert4s_bwd", "all"):
+            # the round-5 split BERT train layer (analytic backward)
+            from vitcap_tpu.ops.fused_block import split_bert_layer_train
+            Sp2 = (S + 15) // 16 * 16
+            seqp2 = jnp.pad(seq0, ((0, 0), (0, Sp2 - S), (0, 0)))
+            biasp2 = jnp.pad(bias, ((0, 0), (0, 0), (0, Sp2 - S),
+                                    (0, Sp2 - S)))
+            seeds = jnp.asarray([3, 5], jnp.int32)
+
+            def berts(ls, x, b):
+                for layer in ls:
+                    x = split_bert_layer_train(
+                        layer, x, b, cfg.num_attention_heads,
+                        cfg.bert_layer_norm_eps, False, S, 0.1, 0.1,
+                        seeds)
+                return x
+
+            if piece in ("bert4s", "all"):
+                fs = jax.jit(berts)
+                run("bert4split", lambda: fs(layers, seqp2, biasp2),
+                    lambda o: o[:1, :1, :1], chain=1)
+
+            if piece in ("bert4s_bwd", "all"):
+                @jax.jit
+                def gs(ls, x, b):
+                    def loss(xx):
+                        return (berts(ls, xx, b)[:, :S]
+                                .astype(jnp.float32) ** 2).mean()
+                    return jax.grad(loss)(x)
+                run("bert4s+bwd", lambda: gs(layers, seqp2, biasp2),
                     lambda o: o[:1, :1, :1], chain=1)
 
         if piece in ("bert4_bwd", "all"):

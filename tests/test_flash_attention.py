@@ -657,3 +657,113 @@ class TestSplitBlockTrain:
         g = jax.grad(lambda p: jnp.sum(vit_block(p, x, nh, eps) ** 2))(blk)
         assert all(np.isfinite(np.asarray(l)).all()
                    for l in jax.tree_util.tree_leaves(g))
+
+
+class TestSplitBertLayerTrain:
+    """split_bert_layer_train: split forward + analytic backward for the
+    post-norm fusion-decoder layer (bias + in-kernel hidden/attn
+    dropout).  Deterministic value/grads must match _bert_layer_xla;
+    dropout grads must match finite differences of the seed-fixed
+    forward (proving XLA-side mask regeneration matches the kernels)."""
+
+    def _layer(self, H, I, nh, seed=0):
+        from vitcap_tpu.models import vitcap as M
+        from vitcap_tpu.models.config import tiny_config
+        cfg = tiny_config(hidden_size=H, intermediate_size=I,
+                          num_attention_heads=nh)
+        params = M.init_params(jax.random.PRNGKey(seed), cfg)
+        return params["decoder"]["layer"][0], cfg.bert_layer_norm_eps
+
+    def _bias(self, B, L, seed=9):
+        rng = np.random.RandomState(seed)
+        return jnp.asarray(
+            np.where(rng.rand(B, 1, L, L) > 0.25, 0.0, -10000.0),
+            jnp.float32)
+
+    @pytest.mark.parametrize("nh,hd", [(2, 64), (4, 32)])
+    def test_det_value_and_grads_match_xla(self, nh, hd):
+        from vitcap_tpu.models.layers import _bert_layer_xla
+        from vitcap_tpu.ops.fused_block import split_bert_layer_train
+        H = nh * hd
+        p, eps = self._layer(H, 4 * H, nh)
+        B, L, Lp = 2, 77, 80
+        rs = np.random.RandomState(4)
+        x = jnp.asarray(rs.randn(B, L, H), jnp.float32)
+        bias = self._bias(B, L)
+        xp = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
+        biasp = jnp.pad(bias, ((0, 0), (0, 0), (0, Lp - L), (0, Lp - L)))
+        seeds = jnp.zeros((2,), jnp.int32)
+
+        out = split_bert_layer_train(p, xp, biasp, nh, eps, True, L,
+                                     0.0, 0.0, seeds)
+        ref = _bert_layer_xla(p, x, bias, nh, eps)
+        np.testing.assert_allclose(np.asarray(out[:, :L]),
+                                   np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+        def loss_split(p_, xx):
+            o = split_bert_layer_train(p_, xx, biasp, nh, eps, True, L,
+                                       0.0, 0.0, seeds)
+            return jnp.sum(o[:, :L] ** 2)
+
+        def loss_ref(p_, xx):
+            return jnp.sum(_bert_layer_xla(p_, xx, bias, nh, eps) ** 2)
+
+        gp_s, gx_s = jax.grad(loss_split, argnums=(0, 1))(p, xp)
+        gp_r, gx_r = jax.grad(loss_ref, argnums=(0, 1))(p, x)
+        np.testing.assert_allclose(np.asarray(gx_s[:, :L]),
+                                   np.asarray(gx_r), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gx_s[:, L:]), 0.0,
+                                   atol=1e-6)
+        flat_s = jax.tree_util.tree_leaves_with_path(gp_s)
+        flat_r = dict(jax.tree_util.tree_leaves_with_path(gp_r))
+        assert len(flat_s) == len(flat_r)
+        for path, a_ in flat_s:
+            np.testing.assert_allclose(
+                np.asarray(a_, np.float32),
+                np.asarray(flat_r[path], np.float32),
+                rtol=3e-4, atol=3e-4, err_msg=str(path))
+
+    def test_dropout_grad_matches_finite_difference(self):
+        from vitcap_tpu.ops.fused_block import split_bert_layer_train
+        nh, H = 2, 128
+        p, eps = self._layer(H, 2 * H, nh)
+        B, L = 1, 64
+        rs = np.random.RandomState(6)
+        x = jnp.asarray(rs.randn(B, L, H), jnp.float32)
+        bias = self._bias(B, L, seed=12)
+        co = jnp.asarray(rs.randn(B, L, H), jnp.float32)
+        seeds = jnp.asarray([17, 23], jnp.int32)
+
+        def f(xx):
+            return jnp.sum(co * split_bert_layer_train(
+                p, xx, bias, nh, eps, True, 0, 0.2, 0.1, seeds))
+
+        g = jax.grad(f)(x)
+        eps_fd = 1e-3
+        d = jnp.asarray(rs.randn(B, L, H), jnp.float32)
+        num = (f(x + eps_fd * d) - f(x - eps_fd * d)) / (2 * eps_fd)
+        ana = jnp.sum(g * d)
+        np.testing.assert_allclose(float(num), float(ana), rtol=2e-3,
+                                   atol=2e-3)
+
+    def test_bert_layer_routes_split_train(self, monkeypatch):
+        """public bert_layer with the interpret train backend + aligned
+        input routes through split_bert_layer_train; deterministic value
+        matches the XLA body and dropout-active grads are finite."""
+        from vitcap_tpu.models.layers import _bert_layer_xla, bert_layer
+        nh, H = 2, 128
+        p, eps = self._layer(H, 2 * H, nh)
+        x = jnp.asarray(np.random.RandomState(8).randn(2, 80, H),
+                        jnp.float32)
+        bias = self._bias(2, 80, seed=13)
+        monkeypatch.setenv("VITCAP_TRAIN_PALLAS", "interpret")
+        out = bert_layer(p, x, bias, nh, eps)
+        ref = _bert_layer_xla(p, x, bias, nh, eps)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5)
+        rng = jax.random.PRNGKey(0)
+        g = jax.grad(lambda p_: jnp.sum(bert_layer(
+            p_, x, bias, nh, eps, hidden_dropout=0.1, attn_dropout=0.1,
+            rng=rng, deterministic=False) ** 2))(p)
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree_util.tree_leaves(g))

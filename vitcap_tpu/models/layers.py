@@ -517,6 +517,32 @@ def bert_layer(p: Params, x: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
             from ..ops.fused_block import fused_bert_block
             return fused_bert_block(p, x, bias, num_heads, ln_eps,
                                     backend == "pallas_interpret")
+    if (kv_input is None and bias is not None and bias.shape[1] == 1
+            and x.shape[1] >= 64 and x.shape[1] % 16 == 0
+            and x.shape[1] <= 1024):
+        # gradient-carrying traces: split forward + analytic backward
+        # (r5, the BERT analogue of the trunk's split_vit_block_train).
+        # Hidden/attn dropout run in-kernel via counter-hash lattices;
+        # seeds derive from the layer rng, so the draw is iid bernoulli
+        # like the reference's nn.Dropout (the bit stream differs from
+        # the jax.random path, which no parity contract pins).
+        from ..ops import attention_backend, train_attention_backend
+        if attention_backend() == "xla":
+            tb = train_attention_backend()
+            if tb != "xla":
+                from ..ops.fused_block import split_bert_layer_train
+                det = deterministic or rng is None
+                h_rate = 0.0 if det else float(hidden_dropout)
+                a_rate = 0.0 if det else float(attn_dropout)
+                if (h_rate > 0.0 or a_rate > 0.0):
+                    seeds = jax.lax.bitcast_convert_type(
+                        jax.random.bits(rng, (2,), jnp.uint32), jnp.int32)
+                else:
+                    seeds = jnp.zeros((2,), jnp.int32)
+                return split_bert_layer_train(
+                    p, x, bias, num_heads, ln_eps,
+                    tb == "pallas_interpret", l_actual, h_rate, a_rate,
+                    seeds)
     return _bert_layer_xla(p, x, bias, num_heads, ln_eps, kv_input,
                            hidden_dropout, attn_dropout, rng, deterministic,
                            scores_dtype, l_actual)

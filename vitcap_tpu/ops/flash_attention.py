@@ -37,7 +37,8 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _dropout_keep(seed_u32, salt: jnp.ndarray, rate: float, shape):
+def _dropout_keep(seed_u32, salt: jnp.ndarray, rate: float, shape,
+                  dims=(0, 1)):
     """Counter-based keep mask for attention-prob dropout (reference
     BertSelfAttention's nn.Dropout on the softmax probs,
     modeling_bert.py:139-141,176).
@@ -46,9 +47,14 @@ def _dropout_keep(seed_u32, salt: jnp.ndarray, rate: float, shape):
     salt: plain integer VPU ops, so the SAME bits regenerate in the
     backward kernel (no mask tensor ever touches HBM) and the code runs
     identically under interpret mode (pltpu.prng_* has no interpret
-    lowering).  Quality is ample for dropout."""
-    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    lowering).  Quality is ample for dropout.
+
+    dims: which axes of `shape` are the (row, col) lattice coordinates —
+    (0, 1) in the 2D per-grid-cell kernels; (1, 2) for XLA-side
+    regeneration over a (B, L, H) batch (salt then carries the per-image
+    term as a broadcastable array)."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, dims[0])
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, dims[1])
     x = (r * jnp.uint32(0x9E3779B9) + c * jnp.uint32(0x85EBCA6B)
          + seed_u32 + salt.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35))
     x = x ^ (x >> jnp.uint32(16))
@@ -866,7 +872,7 @@ flash_attention.defvjp(_fwd, _bwd)
 
 
 def flash_bwd_packed_slab(slab, seed, g, nh, interpret, rate=0.0,
-                          l_actual=0):
+                          l_actual=0, bias=None):
     """One-pass packed attention backward taking the fused (B, Lp, 3H)
     [q|k|v] qkv SLAB directly (the split-train block's kernel-1 output):
     the slab is passed three times with column-offset index maps, so each
@@ -898,22 +904,95 @@ def flash_bwd_packed_slab(slab, seed, g, nh, interpret, rate=0.0,
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, Lp, Hg), lambda b, gi: (b, 0, gi),
                          memory_space=pltpu.VMEM)
+    bspec = None
+    if bias is not None:
+        bspec = pl.BlockSpec((1, 1, Lp, Lp), lambda b, gi: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
     base = _bwd_packed_pair_kernel if (dh == 64 and hpg % 2 == 0) \
         else _bwd_packed_kernel
     kern = functools.partial(base, heads=hpg, dh=dh, scale=scale,
                              l_actual=L, lp=Lp, rate=rate, nh=nh, hpg=hpg)
 
-    def body(q_r, k_r, v_r, g_r, s_r, dq_r, dk_r, dv_r):
-        kern(q_r, k_r, v_r, g_r, None, s_r, dq_r, dk_r, dv_r)
+    def body(*refs):
+        if bias is not None:
+            q_r, k_r, v_r, g_r, b_r, s_r, dq_r, dk_r, dv_r = refs
+            kern(q_r, k_r, v_r, g_r, b_r, s_r, dq_r, dk_r, dv_r)
+        else:
+            q_r, k_r, v_r, g_r, s_r, dq_r, dk_r, dv_r = refs
+            kern(q_r, k_r, v_r, g_r, None, s_r, dq_r, dk_r, dv_r)
 
+    in_specs = [qspec, kspec, vspec, ospec] \
+        + ([bspec] if bias is not None else []) + [_seed_spec(ng)]
+    args = [slab, slab, slab, g] + ([bias] if bias is not None else []) \
+        + [jnp.reshape(seed, (1,)).astype(jnp.int32)]
     oshape = jax.ShapeDtypeStruct((B, Lp, H), slab.dtype)
     return pl.pallas_call(
         body,
         out_shape=(oshape, oshape, oshape),
         grid=(B, ng),
-        in_specs=[qspec, kspec, vspec, ospec, _seed_spec(ng)],
+        in_specs=in_specs,
         out_specs=(ospec, ospec, ospec),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(slab, slab, slab, g, jnp.reshape(seed, (1,)).astype(jnp.int32))
+    )(*args)
+
+
+def flash_fwd_packed_slab(slab, bias, seed, nh, interpret, rate=0.0,
+                          l_actual=0):
+    """Packed attention forward taking the fused (B, Lp, 3H) [q|k|v] slab
+    directly (column-offset index maps — see flash_bwd_packed_slab).
+    bias: None or (B, 1, Lp, Lp) additive, already at the padded length.
+    Same kernels/salting as _flash_fwd_packed, so dropout bits regenerate
+    identically in the packed backward."""
+    B, Lp, H3 = slab.shape
+    H = H3 // 3
+    dh = H // nh
+    scale = dh ** -0.5
+    if Lp % 16:
+        raise ValueError("slab token axis must be 16-aligned")
+    L = l_actual or Lp
+    hpg = min(4, nh)
+    while nh % hpg:
+        hpg -= 1
+    ng = nh // hpg
+    Hg = hpg * dh
+    qspec = pl.BlockSpec((1, Lp, Hg), lambda b, gi: (b, 0, gi),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, Lp, Hg), lambda b, gi: (b, 0, ng + gi),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, Lp, Hg), lambda b, gi: (b, 0, 2 * ng + gi),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, Lp, Hg), lambda b, gi: (b, 0, gi),
+                         memory_space=pltpu.VMEM)
+    bspec = None
+    if bias is not None:
+        bspec = pl.BlockSpec((1, 1, Lp, Lp), lambda b, gi: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    base = _fwd_packed_pair_kernel if (dh == 64 and hpg % 2 == 0) \
+        else _fwd_packed_kernel
+    kern = functools.partial(base, heads=hpg, dh=dh, scale=scale,
+                             l_actual=L, lp=Lp, rate=rate, nh=nh, hpg=hpg)
+
+    def body(*refs):
+        if bias is not None:
+            q_r, k_r, v_r, b_r, s_r, o_r = refs
+            kern(q_r, k_r, v_r, b_r, s_r, o_r)
+        else:
+            q_r, k_r, v_r, s_r, o_r = refs
+            kern(q_r, k_r, v_r, None, s_r, o_r)
+
+    in_specs = [qspec, kspec, vspec] \
+        + ([bspec] if bias is not None else []) + [_seed_spec(ng)]
+    args = [slab, slab, slab] + ([bias] if bias is not None else []) \
+        + [jnp.reshape(seed, (1,)).astype(jnp.int32)]
+    return pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((B, Lp, H), slab.dtype),
+        grid=(B, ng),
+        in_specs=in_specs,
+        out_specs=ospec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*args)

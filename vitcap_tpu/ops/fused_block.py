@@ -1117,3 +1117,265 @@ def _sbt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, res, g):
 
 
 split_vit_block_train.defvjp(_sbt_vjp_fwd, _sbt_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Train-mode split BERT layer (post-norm) — split forward + analytic backward
+# ---------------------------------------------------------------------------
+
+def _bert_tail_train_kernel(x_ref, a_ref, wo_ref, bo_ref, ln1s_ref,
+                            ln1b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
+                            bfc2_ref, ln2s_ref, ln2b_ref, seed_ref,
+                            o_ref, r1_ref, y1_ref, pre1_ref, r2_ref, *,
+                            eps: float, rate: float):
+    """Post-norm BERT tail: out-dense -> hidden-dropout -> +x -> LN1 ->
+    fc1+gelu -> fc2 -> hidden-dropout -> +LN1out -> LN2 (reference
+    BertSelfOutput/BertIntermediate/BertOutput modeling_bert.py:346-437).
+    Residuals the analytic backward needs (r1/y1/pre1/r2 — the tensors
+    XLA autodiff saves anyway) stream out as extra outputs; the two
+    hidden-dropout masks are counter-hash lattices over (token, feature)
+    with per-image salt, regenerated bit-identically XLA-side in the
+    backward (no mask tensors in HBM)."""
+    from .flash_attention import _dropout_keep
+    x = x_ref[0]
+    dt = x.dtype
+    t = jnp.dot(a_ref[0], wo_ref[:],
+                preferred_element_type=jnp.float32).astype(dt)
+    t = t + bo_ref[0].astype(dt)
+    if rate > 0.0:
+        seed = seed_ref[0].astype(jnp.uint32)
+        img = pl.program_id(0)
+        inv = 1.0 / (1.0 - rate)
+        keep = _dropout_keep(seed, img * 2, rate, t.shape)
+        t = jnp.where(keep, t, 0.0).astype(dt) * jnp.asarray(inv, dt)
+    r1 = x + t
+    r1_ref[0] = r1
+    xf = r1.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y1 = (ln * ln1s_ref[0].astype(jnp.float32)
+          + ln1b_ref[0].astype(jnp.float32)).astype(dt)
+    y1_ref[0] = y1
+    pre1 = jnp.dot(y1, wfc1_ref[:],
+                   preferred_element_type=jnp.float32).astype(dt)
+    pre1 = pre1 + bfc1_ref[0].astype(dt)
+    pre1_ref[0] = pre1
+    h = _gelu_exact(pre1)
+    u = jnp.dot(h, wfc2_ref[:],
+                preferred_element_type=jnp.float32).astype(dt)
+    u = u + bfc2_ref[0].astype(dt)
+    if rate > 0.0:
+        keep2 = _dropout_keep(seed, img * 2 + 1, rate, u.shape)
+        u = jnp.where(keep2, u, 0.0).astype(dt) * jnp.asarray(inv, dt)
+    r2 = y1 + u
+    r2_ref[0] = r2
+    xf = r2.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = (xf - mean) * jax.lax.rsqrt(var + eps)
+    o_ref[0] = (ln * ln2s_ref[0].astype(jnp.float32)
+                + ln2b_ref[0].astype(jnp.float32)).astype(dt)
+
+
+def _bert_qkv_cat(p):
+    """Concatenate the three separate q/k/v projections into one (H, 3H)
+    kernel + (3H,) bias (trace-time, tiny)."""
+    s = p["attention"]["self"]
+    wq, wk, wv = (s[n]["kernel"] for n in ("query", "key", "value"))
+    bq, bk, bv = (s[n]["bias"] for n in ("query", "key", "value"))
+    return (jnp.concatenate([wq, wk, wv], axis=1),
+            jnp.concatenate([bq, bk, bv]))
+
+
+def _split_bert_train_fwd(p, x, bias, num_heads, eps, interpret, L, Lp,
+                          hidden_rate, attn_rate, seeds):
+    from .flash_attention import flash_fwd_packed_slab
+    B, _, H = x.shape
+    dt = x.dtype
+    I = p["intermediate"]["dense"]["kernel"].shape[1]
+    wqkv, bqkv = _bert_qkv_cat(p)
+    slab = (jax.lax.dot_general(
+        x, wqkv.astype(dt), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt)
+        + bqkv.astype(dt))
+    a = flash_fwd_packed_slab(slab, bias, seeds[0], num_heads, interpret,
+                              attn_rate, L if L < Lp else 0)
+
+    row = lambda v: v.reshape(1, -1)
+    bspec = lambda n: pl.BlockSpec((1, n), lambda b: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    wspec = lambda s: pl.BlockSpec(s, lambda b: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((1, Lp, H), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ispec = pl.BlockSpec((1, Lp, I), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    ao = p["attention"]["output"]
+    out, r1, y1, pre1, r2 = pl.pallas_call(
+        functools.partial(_bert_tail_train_kernel, eps=eps,
+                          rate=hidden_rate),
+        out_shape=(jax.ShapeDtypeStruct((B, Lp, H), dt),
+                   jax.ShapeDtypeStruct((B, Lp, H), dt),
+                   jax.ShapeDtypeStruct((B, Lp, H), dt),
+                   jax.ShapeDtypeStruct((B, Lp, I), dt),
+                   jax.ShapeDtypeStruct((B, Lp, H), dt)),
+        grid=(B,),
+        in_specs=[xspec, xspec, wspec((H, H)), bspec(H), bspec(H),
+                  bspec(H), wspec((H, I)), bspec(I), wspec((I, H)),
+                  bspec(H), bspec(H), bspec(H), sspec],
+        out_specs=(xspec, xspec, xspec, ispec, xspec),
+        interpret=interpret, compiler_params=cp,
+    )(x, a, ao["dense"]["kernel"].astype(dt), row(ao["dense"]["bias"]),
+      row(ao["LayerNorm"]["scale"]), row(ao["LayerNorm"]["bias"]),
+      p["intermediate"]["dense"]["kernel"].astype(dt),
+      row(p["intermediate"]["dense"]["bias"]),
+      p["output"]["dense"]["kernel"].astype(dt),
+      row(p["output"]["dense"]["bias"]),
+      row(p["output"]["LayerNorm"]["scale"]),
+      row(p["output"]["LayerNorm"]["bias"]),
+      jnp.reshape(seeds[1], (1,)).astype(jnp.int32))
+    return out, (slab, a, r1, y1, pre1, r2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def split_bert_layer_train(p_layer: Params, x: jnp.ndarray,
+                           bias: jnp.ndarray, num_heads: int,
+                           ln_eps: float, interpret: bool = False,
+                           l_actual: int = 0, hidden_rate: float = 0.0,
+                           attn_rate: float = 0.0,
+                           seeds: jnp.ndarray = None) -> jnp.ndarray:
+    """Training post-norm BERT layer: split forward (XLA fused-qkv matmul
+    | packed pair attention with bias + in-kernel prob dropout | tail
+    kernel with in-kernel hidden dropout) + ANALYTIC backward over the
+    materialized residuals — the BERT analogue of split_vit_block_train.
+
+    x and bias must be pre-padded (16-aligned) with l_actual valid rows
+    when l_actual > 0.  seeds: (2,) int32 — [attn-prob seed, hidden seed]
+    (pass zeros when both rates are 0)."""
+    B, Lp, H = x.shape
+    if Lp % 16:
+        raise ValueError("split_bert_layer_train needs a 16-aligned "
+                         "token axis")
+    if Lp > 1024:
+        raise ValueError("split_bert_layer_train covers Lp <= 1024 only")
+    L = l_actual or Lp
+    out, _ = _split_bert_train_fwd(p_layer, x, bias, num_heads, ln_eps,
+                                   interpret, L, Lp, hidden_rate,
+                                   attn_rate, seeds)
+    return out
+
+
+def _sblt_vjp_fwd(p_layer, x, bias, num_heads, ln_eps, interpret,
+                  l_actual, hidden_rate, attn_rate, seeds):
+    B, Lp, H = x.shape
+    L = l_actual or Lp
+    out, res = _split_bert_train_fwd(p_layer, x, bias, num_heads, ln_eps,
+                                     interpret, L, Lp, hidden_rate,
+                                     attn_rate, seeds)
+    return out, (p_layer, x, bias, seeds) + res
+
+
+def _sblt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, hidden_rate,
+                  attn_rate, res, g):
+    from .flash_attention import _dropout_keep, flash_bwd_packed_slab
+    p, x, bias, seeds, slab, a, r1, y1, pre1, r2 = res
+    B, Lp, H = x.shape
+    L = l_actual or Lp
+    dt = x.dtype
+    f32 = jnp.float32
+    ao = p["attention"]["output"]
+    wo = ao["dense"]["kernel"].astype(dt)
+    wfc1 = p["intermediate"]["dense"]["kernel"].astype(dt)
+    wfc2 = p["output"]["dense"]["kernel"].astype(dt)
+    wqkv, _ = _bert_qkv_cat(p)
+    wqkv = wqkv.astype(dt)
+
+    def mm(a_, b_):
+        return jax.lax.dot_general(
+            a_, b_, (((2,), (0,)), ((), ())), preferred_element_type=f32)
+
+    def mm_w(a_, b_):
+        return jax.lax.dot_general(
+            a_, b_, (((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=f32)
+
+    def hmask(which, ref_shape):
+        # bit-identical regeneration of the kernel's per-image lattice:
+        # salt = img*2 + which, (row, col) = (token, feature) dims (1, 2)
+        seed = seeds[1].astype(jnp.uint32)
+        img = jax.lax.broadcasted_iota(jnp.uint32, ref_shape, 0)
+        return _dropout_keep(seed, img * 2 + which, hidden_rate,
+                             ref_shape, dims=(1, 2))
+
+    # ---- LN2: out = LN(r2)*s2 + b2
+    xhat2, rsig2 = _ln_stats(r2.astype(f32), ln_eps)
+    dr2, ds2, dbeta2 = _ln_bwd(g.astype(f32), xhat2, rsig2,
+                               p["output"]["LayerNorm"]["scale"])
+    du = dr2
+    if hidden_rate > 0.0:
+        keep2 = hmask(1, du.shape)
+        du = jnp.where(keep2, du, 0.0) * (1.0 / (1.0 - hidden_rate))
+    du = du.astype(dt)
+    dy1 = dr2                                          # residual path
+    h = _gelu_exact(pre1)
+    dW2 = mm_w(h, du)
+    db2 = jnp.sum(du.astype(f32), axis=(0, 1))
+    dh = mm(du, wfc2.T)
+    dpre1 = (dh * _gelu_grad(pre1.astype(f32))).astype(dt)
+    dW1 = mm_w(y1, dpre1)
+    db1 = jnp.sum(dpre1.astype(f32), axis=(0, 1))
+    dy1 = dy1 + mm(dpre1, wfc1.T)
+
+    # ---- LN1: y1 = LN(r1)*s1 + b1
+    xhat1, rsig1 = _ln_stats(r1.astype(f32), ln_eps)
+    dr1, ds1, dbeta1 = _ln_bwd(dy1, xhat1, rsig1, ao["LayerNorm"]["scale"])
+    dt_ = dr1
+    if hidden_rate > 0.0:
+        keep1 = hmask(0, dt_.shape)
+        dt_ = jnp.where(keep1, dt_, 0.0) * (1.0 / (1.0 - hidden_rate))
+    dt_ = dt_.astype(dt)
+    dx = dr1                                           # residual path
+    da = mm(dt_, wo.T).astype(dt)
+    dWo = mm_w(a, dt_)
+    dbo = jnp.sum(dt_.astype(f32), axis=(0, 1))
+
+    # ---- attention backward (slab pair kernel, bias + prob dropout)
+    dq, dk, dv = flash_bwd_packed_slab(slab, seeds[0], da, num_heads,
+                                       interpret, attn_rate,
+                                       L if L < Lp else 0, bias)
+
+    # ---- qkv backward (no pre-LN in post-norm BERT: straight to x)
+    dWq, dWk, dWv = mm_w(x, dq), mm_w(x, dk), mm_w(x, dv)
+    dbq = jnp.sum(dq.astype(f32), axis=(0, 1))
+    dbk = jnp.sum(dk.astype(f32), axis=(0, 1))
+    dbv = jnp.sum(dv.astype(f32), axis=(0, 1))
+    dx = (dx + mm(dq, wqkv[:, :H].T) + mm(dk, wqkv[:, H:2 * H].T)
+          + mm(dv, wqkv[:, 2 * H:].T)).astype(dt)
+
+    dp = {
+        "attention": {
+            "self": {
+                "query": {"kernel": dWq, "bias": dbq},
+                "key": {"kernel": dWk, "bias": dbk},
+                "value": {"kernel": dWv, "bias": dbv},
+            },
+            "output": {
+                "dense": {"kernel": dWo, "bias": dbo},
+                "LayerNorm": {"scale": ds1, "bias": dbeta1},
+            },
+        },
+        "intermediate": {"dense": {"kernel": dW1, "bias": db1}},
+        "output": {
+            "dense": {"kernel": dW2, "bias": db2},
+            "LayerNorm": {"scale": ds2, "bias": dbeta2},
+        },
+    }
+    import numpy as _np
+    dseeds = _np.zeros(seeds.shape, dtype=jax.dtypes.float0)
+    return dp, dx, jnp.zeros_like(bias), dseeds
+
+
+split_bert_layer_train.defvjp(_sblt_vjp_fwd, _sblt_vjp_bwd)
