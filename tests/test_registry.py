@@ -1625,7 +1625,11 @@ class TestT2tVitParity:
         with tempfile.TemporaryDirectory() as d:
             pt = op.join(d, "m.pt")
             torch.save(sd, pt)
-            m = R.create_model(name.lower(), checkpoint_path=pt)
+            # qk_scale passed explicitly, mirroring the torch-side
+            # override above (the reference pretrained-path semantics;
+            # create_model no longer auto-overrides on checkpoint load)
+            m = R.create_model(name.lower(), checkpoint_path=pt,
+                               qk_scale=embed ** -0.5)
         x = np.random.RandomState(0).randn(1, 224, 224, 3) \
             .astype(np.float32) * 0.5
         with torch.no_grad():
@@ -1724,7 +1728,8 @@ class TestT2tPerformerParity:
         with tempfile.TemporaryDirectory() as d:
             pt = op.join(d, "m.pt")
             torch.save(sd, pt)
-            m = R.create_model(name.lower(), checkpoint_path=pt)
+            m = R.create_model(name.lower(), checkpoint_path=pt,
+                               qk_scale=embed ** -0.5)
         x = np.random.RandomState(0).randn(1, 224, 224, 3) \
             .astype(np.float32) * 0.5
         with torch.no_grad():

@@ -50,14 +50,20 @@ def _entrypoint(name):
 # forward method (reference timm/models/t2t_vit/token_performer.py), so the
 # torch model cannot run.  For these, parity degrades to our-side train-mode
 # invariants (finite logits, train==eval at drop 0 for these BN-free nets).
+# NOTE the reference registers these with a CAPITAL T (t2t_vit.py:215-283
+# `def T2t_vit_7` etc.) — the r4 lowercase set matched nothing, which is
+# why the sweep hit all 8 performer names.
 REFERENCE_BROKEN = {
-    "t2t_vit_7", "t2t_vit_10", "t2t_vit_12", "t2t_vit_14",
-    "t2t_vit_19", "t2t_vit_24",
+    "T2t_vit_7", "T2t_vit_10", "T2t_vit_12", "T2t_vit_14",
+    "T2t_vit_19", "T2t_vit_24", "T2t_vit_14_wide", "T2t_vit_14_resnext",
 }
 
 
 def _needs_iabn(name):
-    return name.startswith("tresnet")
+    # tresnet family + the *_iabn zoo flavors (cspdarknet53_iabn,
+    # cspresnext50_iabn, densenet264d_iabn, ese_vovnet99b_iabn) all build
+    # InplaceABN torch-side
+    return name.startswith("tresnet") or name.endswith("_iabn")
 
 
 def _enable_python_iabn():
@@ -148,7 +154,12 @@ def _torch_bn_buffers(tm):
     import torch
     means, variances = [], []
     for mod in tm.modules():
-        if isinstance(mod, torch.nn.modules.batchnorm._BatchNorm):
+        # InplaceAbn (tresnet + the *_iabn flavors) carries the same
+        # running_mean/var buffers but is not a _BatchNorm subclass; under
+        # _enable_python_iabn its forward is F.batch_norm, so train-mode
+        # buffer updates follow _BatchNorm semantics exactly
+        if (isinstance(mod, torch.nn.modules.batchnorm._BatchNorm)
+                or type(mod).__name__ == "InplaceAbn"):
             means.append(mod.running_mean.detach().numpy().copy())
             variances.append(mod.running_var.detach().numpy().copy())
     return means, variances
@@ -175,7 +186,10 @@ def _run_one(name):
     x = np.random.RandomState(0).randn(2, used, used, 3) \
         .astype(np.float32) * 0.5
     with torch.no_grad():
-        t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        # .contiguous(): the reference's CondConv x.view(1, B*C, H, W)
+        # (cond_conv2d.py:94) rejects the permuted NHWC->NCHW view; real
+        # loaders always feed contiguous NCHW
+        t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2).contiguous())
     if isinstance(t_out, (tuple, list)):      # distilled ViTs in train()
         t_out = sum(o for o in t_out) / len(t_out)
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .backbones import _kaiming, _v, _w
+from .backbones import _batch_norm, _kaiming, _v, _w
 from .efficientnet import _conv_sym
 
 Params = Dict[str, Any]
@@ -71,8 +71,7 @@ def dpn_feature_channels(variant: str) -> int:
 
 
 def _bn_act(x, p, act="relu"):
-    inv = jax.lax.rsqrt(p["var"] + _BN_EPS)
-    x = (x - p["mean"]) * inv * p["scale"] + p["bias"]
+    x = _batch_norm(x, p, act=False, eps=_BN_EPS)
     if act == "relu":
         return jax.nn.relu(x)
     return jnp.where(x > 0, x, jnp.exp(x) - 1.0)      # elu

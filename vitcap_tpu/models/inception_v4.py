@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .backbones import _bn_from, _v, _w
+from .backbones import _batch_norm, _bn_from, _v, _w
 
 Params = Dict[str, Any]
 
@@ -115,9 +115,7 @@ def _bca(x, p, pad, stride):
     x = jax.lax.conv_general_dilated(
         x, p["conv"], window_strides=(stride, stride), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    bn = p["bn"]
-    inv = jax.lax.rsqrt(bn["var"] + _BN_EPS)
-    return jax.nn.relu((x - bn["mean"]) * inv * bn["scale"] + bn["bias"])
+    return _batch_norm(x, p["bn"], act=True, eps=_BN_EPS)
 
 
 def _avg3_excl(x):

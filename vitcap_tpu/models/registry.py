@@ -2536,16 +2536,22 @@ def create_model(name: str, pretrained: bool = False,
                  img_size: Optional[int] = None,
                  num_classes: Optional[int] = None,
                  rng: Optional[jax.Array] = None,
-                 dtype=jnp.float32) -> VisionModel:
+                 dtype=jnp.float32, **spec_kw) -> VisionModel:
     """Factory (reference timm factory.py:6-62).  pretrained=True requires
     checkpoint_path (this environment has no network; timm downloads its
-    weights — here they must be on disk as a torch state-dict)."""
+    weights — here they must be on disk as a torch state-dict).
+
+    Extra keyword arguments override fields of the model's spec — the
+    analogue of the reference entrypoints' **kwargs (e.g. the t2t
+    qk_scale pretrained override, t2t_vit.py:178-186)."""
     kw = {}
     spec = model_spec(name)
     if img_size is not None and img_size != spec.img_size:
         spec = dataclasses.replace(spec, img_size=img_size)
     if num_classes is not None:
         spec = dataclasses.replace(spec, num_classes=num_classes)
+    if spec_kw:
+        spec = dataclasses.replace(spec, **spec_kw)
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path "
                          "(no-network environment)")
@@ -2621,11 +2627,14 @@ def create_model(name: str, pretrained: bool = False,
         params = init_t2t_vit_params(rng if rng is not None
                                      else jax.random.PRNGKey(0), spec)
         if checkpoint_path:
-            # the reference pretrained path overrides the attention scale
-            # to embed_dim**-0.5 (t2t_vit.py qk_scale hack)
-            spec = dataclasses.replace(
-                spec, qk_scale=spec.qk_scale
-                or spec.feature_channels ** -0.5)
+            # NOTE the reference's qk_scale=embed**-0.5 override is tied
+            # to its pretrained=True entry path (t2t_vit.py:178-186), NOT
+            # to load_state_dict — loading an arbitrary checkpoint keeps
+            # the default head-dim scale (r5 fix: the old unconditional
+            # override deviated from fn(pretrained=False)+load torch
+            # semantics).  Callers modeling the released checkpoint pass
+            # qk_scale=embed**-0.5 explicitly, as the reference user
+            # would via the entrypoint kwarg.
             params = load_t2t_vit_checkpoint(params, checkpoint_path, spec)
 
         def apply(params, images, head=False):

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .backbones import _kaiming, _v, _w
+from .backbones import _batch_norm, _kaiming, _v, _w
 from .efficientnet import _conv_sym, _dwconv, _kaiming_dw, _w_conv, _w_dw
 
 Params = Dict[str, Any]
@@ -51,8 +51,7 @@ XCEPTION_ALIGNED_FEATURES = 2048
 
 
 def _bn(x, p):
-    inv = jax.lax.rsqrt(p["var"] + _BN_EPS)
-    return (x - p["mean"]) * inv * p["scale"] + p["bias"]
+    return _batch_norm(x, p, act=False, eps=_BN_EPS)
 
 
 def _sep(x, p, stride, internal_act):
