@@ -149,11 +149,20 @@ class ModelConfig:
     def use_remat(self) -> bool:
         """Resolve the remat tri-state (see the `remat` field): 'auto'
         rematerializes only when the XLA attention backward (which stores
-        the (B, nh, L, L) probs) is in play."""
+        the (B, nh, L, L) probs) is in play.  'fusion' rematerializes the
+        fusion decoder only (the B*K-wide SCST scoring layers) while the
+        trunk keeps its no-recompute analytic backward."""
         if self.remat == "auto":
             from ..ops import train_attention_backend
             return train_attention_backend() == "xla"
+        if self.remat == "fusion":
+            return False
         return bool(self.remat)
+
+    @property
+    def use_remat_fusion(self) -> bool:
+        """Remat gate for the fusion decoder's layer loop (see use_remat)."""
+        return self.use_remat or self.remat == "fusion"
 
 
     @property

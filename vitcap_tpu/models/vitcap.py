@@ -431,7 +431,7 @@ def fusion_decoder(params: Params, seq: jnp.ndarray, bias: jnp.ndarray,
                           rng=lrng, deterministic=deterministic,
                           scores_dtype=cfg.attention_scores_dtype,
                           l_actual=l_actual)
-    if cfg.use_remat:
+    if cfg.use_remat_fusion:
         layer_fn = jax.checkpoint(layer_fn)
     x = seq
     for li, layer in enumerate(params["decoder"]["layer"]):

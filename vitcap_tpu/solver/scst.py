@@ -233,6 +233,16 @@ def make_scst_fns(cfg: ModelConfig, opts: D.DecodeOptions,
     opt_cfg = AdamWConfig(base_lr=hyper.base_lr, eps=hyper.eps,
                           grad_clip=hyper.grad_clip)
 
+    # SCST's backward runs the fusion decoder over B*K sequences at the
+    # 2A+S probe length (672 padded) ON TOP of the B-image trunk; with the
+    # split-train custom_vjp kernels, whose residuals XLA's rematerializer
+    # cannot drop, the un-rematerialized backward overflows the 16 GB chip
+    # at B=64 K=2 (measured r5: HLO temps of pre1/slab residuals alone
+    # ~12 GB).  Per-block remat bounds live residuals to one block and
+    # recomputes the (fast) split-kernel forwards in the backward — the
+    # r4-prescribed experiment, now also the memory-correctness fix.
+    score_cfg = cfg.replace(remat="fusion")
+
     def grad_step(state: TrainState, batch, sample_ids, raw_tokens,
                   advantages, vidx):
         rng, _ = jax.random.split(state.rng)
@@ -242,7 +252,7 @@ def make_scst_fns(cfg: ModelConfig, opts: D.DecodeOptions,
             lp = score_caption_logprobs(
                 p, batch["image"], batch["od_ids"],
                 batch.get("od_token_type_ids"), batch["seq_len"],
-                sample_ids, cfg, opts, target_ids=raw_tokens,
+                sample_ids, score_cfg, opts, target_ids=raw_tokens,
                 visual_token_idx=vti)
             return jnp.mean(-lp * advantages), lp
 
