@@ -36,7 +36,16 @@ def main():
     from vitcap_tpu.models import decode as D
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    # generation length: argv[2] (default the flagship 20).  VERDICT r4
+    # item #6: int8 KV's claimed winning regime is LONGER generations,
+    # where scan savings amortize the prefill-side quantize cost.
+    ML = int(sys.argv[2]) if len(sys.argv) > 2 else None
     base = ModelConfig(dtype="bfloat16")
+    if ML:
+        base = base.replace(max_gen_length=ML,
+                            max_seq_a_len=max(base.max_seq_a_len, ML),
+                            max_seq_len=base.max_seq_len
+                            + max(0, ML - base.max_seq_a_len))
     OD = base.max_seq_len - base.max_seq_a_len
     opts = D.DecodeOptions(max_length=base.max_gen_length,
                            od_labels_start_posid=base.max_seq_a_len)
@@ -78,7 +87,8 @@ def main():
               f" ms ({B/t_full:6.1f} caps/s) | beam3 {B/t_beam:6.1f} caps/s",
               flush=True)
 
-    same = (ids["none"] == ids["int8"]).all(axis=1)
+    same = (ids["none"].reshape(B, -1)
+            == ids["int8"].reshape(B, -1)).all(axis=1)
     print(f"greedy ids identical: {int(same.sum())}/{B} rows")
 
 
