@@ -67,6 +67,65 @@ def _dropout_keep(seed_u32, salt: jnp.ndarray, rate: float, shape,
     return x >= thresh
 
 
+# --- pair-blockdiagonal shared core -----------------------------------------
+#
+# Two hd=64 heads per matmul via [[a1,0];[0,a2]] K/V packing on a
+# 128-aligned LG row stride, so every contraction/minor is a full MXU
+# tile (the skinny per-head dots are tile-bound at 50%) and every f32
+# score-slab slice lands lane-aligned.  Shared by the packed train
+# kernels here and fused_block's inference/BERT pair kernels — one
+# implementation of the packing/masking/softmax invariants (ADVICE r4).
+
+def _bd_pack(a1, a2, lp: int, LG: int):
+    """Two (Lp, dh) segments -> (2LG, 2dh) block-diagonal stack."""
+    dt = a1.dtype
+    dh = a1.shape[-1]
+    z = jnp.zeros((lp, dh), dt)
+    seg1 = jnp.concatenate([a1, z], axis=-1)
+    seg2 = jnp.concatenate([z, a2], axis=-1)
+    if LG > lp:
+        zg = jnp.zeros((LG - lp, 2 * dh), dt)
+        return jnp.concatenate([seg1, zg, seg2, zg], axis=0)
+    return jnp.concatenate([seg1, seg2], axis=0)
+
+
+def _bd_valid(lp: int, LG: int, l_actual: int):
+    """(Lp, 2LG) mask covering both the pad rows (l_actual..lp) and the
+    LG-alignment gap rows (lp..LG) of each segment."""
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (lp, 2 * LG), 1)
+    return (kidx % LG) < l_actual
+
+
+def _bd_bias2(bias_f32, lp: int, LG: int):
+    """(Lp, lp) additive bias tile -> (Lp, 2LG): padded to the segment
+    stride and placed once into both segments (gap columns are masked
+    downstream, their bias value is irrelevant)."""
+    if LG > lp:
+        bias_f32 = jnp.pad(bias_f32, ((0, 0), (0, LG - lp)))
+    return jnp.concatenate([bias_f32, bias_f32], axis=-1)
+
+
+def _bd_scores(qp, kbd, valid, scale: float, bias2=None):
+    """Masked (Lp, 2LG) f32 pair-score slab."""
+    s = jax.lax.dot_general(qp, kbd, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if bias2 is not None:
+        s = s + bias2
+    return jnp.where(valid, s, NEG)
+
+
+def _bd_softmax(s, LG: int):
+    """Per-segment softmax pieces: (e1, e2, l1, l2), e unnormalized."""
+    s1, s2 = s[:, :LG], s[:, LG:]
+    m1 = jnp.max(s1, axis=-1, keepdims=True)
+    m2 = jnp.max(s2, axis=-1, keepdims=True)
+    e1 = jnp.exp(s1 - m1)
+    e2 = jnp.exp(s2 - m2)
+    l1 = jnp.sum(e1, axis=-1, keepdims=True)
+    l2 = jnp.sum(e2, axis=-1, keepdims=True)
+    return e1, e2, l1, l2
+
+
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, n_k_tiles: int,
             tk: int, scale: float, l_actual: int):
     TK = tk
@@ -441,39 +500,18 @@ def _fwd_packed_pair_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref,
     stay layout-independent (gap columns carry p == 0)."""
     dt = o_ref.dtype
     LG = _round_up(lp, 128)
-    kidx2 = jax.lax.broadcasted_iota(jnp.int32, (lp, 2 * LG), 1)
-    valid = (kidx2 % LG) < l_actual
+    valid = _bd_valid(lp, LG, l_actual)
+    bias2 = None
+    if bias_ref is not None:
+        bias2 = _bd_bias2(bias_ref[0, 0].astype(jnp.float32), lp, LG)
     for hp in range(0, heads, 2):
         sl1 = slice(hp * dh, (hp + 1) * dh)
         sl2 = slice((hp + 1) * dh, (hp + 2) * dh)
-        q1, q2 = q_ref[0, :, sl1], q_ref[0, :, sl2]
-        k1, k2 = k_ref[0, :, sl1], k_ref[0, :, sl2]
-        v1, v2 = v_ref[0, :, sl1], v_ref[0, :, sl2]
-        z = jnp.zeros((lp, dh), k1.dtype)
-        qp = jnp.concatenate([q1, q2], axis=-1)                # (Lp, 2dh)
-        seg1 = jnp.concatenate([k1, z], axis=-1)
-        seg2 = jnp.concatenate([z, k2], axis=-1)
-        if LG > lp:
-            zg = jnp.zeros((LG - lp, 2 * dh), k1.dtype)
-            kbd = jnp.concatenate([seg1, zg, seg2, zg], axis=0)
-        else:
-            kbd = jnp.concatenate([seg1, seg2], axis=0)        # (2LG, 2dh)
-        s = jax.lax.dot_general(
-            qp, kbd, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale        # (Lp, 2LG)
-        if bias_ref is not None:
-            b = bias_ref[0, 0].astype(jnp.float32)
-            if LG > lp:
-                b = jnp.pad(b, ((0, 0), (0, LG - lp)))
-            s = s + jnp.concatenate([b, b], axis=-1)
-        s = jnp.where(valid, s, NEG)
-        s1, s2 = s[:, :LG], s[:, LG:]
-        m1 = jnp.max(s1, axis=-1, keepdims=True)
-        m2 = jnp.max(s2, axis=-1, keepdims=True)
-        p1 = jnp.exp(s1 - m1)
-        p2 = jnp.exp(s2 - m2)
-        l1 = jnp.sum(p1, axis=-1, keepdims=True)
-        l2 = jnp.sum(p2, axis=-1, keepdims=True)
+        qp = jnp.concatenate([q_ref[0, :, sl1], q_ref[0, :, sl2]],
+                             axis=-1)                          # (Lp, 2dh)
+        kbd = _bd_pack(k_ref[0, :, sl1], k_ref[0, :, sl2], lp, LG)
+        s = _bd_scores(qp, kbd, valid, scale, bias2)           # (Lp, 2LG)
+        p1, p2, l1, l2 = _bd_softmax(s, LG)
         if rate > 0.0:
             g0 = pl.program_id(0) * nh + pl.program_id(1) * hpg + hp
             seed = seed_ref[0].astype(jnp.uint32)
@@ -483,13 +521,7 @@ def _fwd_packed_pair_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref,
             p1 = jnp.where(keep1, p1, 0.0) * inv
             p2 = jnp.where(keep2, p2, 0.0) * inv
         pcat = jnp.concatenate([p1, p2], axis=-1).astype(dt)
-        sv1 = jnp.concatenate([v1, z], axis=-1)
-        sv2 = jnp.concatenate([z, v2], axis=-1)
-        if LG > lp:
-            zg = jnp.zeros((LG - lp, 2 * dh), v1.dtype)
-            vbd = jnp.concatenate([sv1, zg, sv2, zg], axis=0)
-        else:
-            vbd = jnp.concatenate([sv1, sv2], axis=0)          # (2LG, 2dh)
+        vbd = _bd_pack(v_ref[0, :, sl1], v_ref[0, :, sl2], lp, LG)
         o = jnp.dot(pcat, vbd, preferred_element_type=jnp.float32)
         o_ref[0, :, sl1] = (o[:, :dh] / jnp.maximum(l1, 1e-30)).astype(dt)
         o_ref[0, :, sl2] = (o[:, dh:] / jnp.maximum(l2, 1e-30)).astype(dt)
@@ -508,45 +540,21 @@ def _bwd_packed_pair_kernel(q_ref, k_ref, v_ref, g_ref, bias_ref, seed_ref,
     _bwd_packed_kernel line-for-line per segment."""
     dt = dq_ref.dtype
     LG = _round_up(lp, 128)
-    kidx2 = jax.lax.broadcasted_iota(jnp.int32, (lp, 2 * LG), 1)
-    valid = (kidx2 % LG) < l_actual
+    valid = _bd_valid(lp, LG, l_actual)
+    bias2 = None
+    if bias_ref is not None:
+        bias2 = _bd_bias2(bias_ref[0, 0].astype(jnp.float32), lp, LG)
     for hp in range(0, heads, 2):
         sl1 = slice(hp * dh, (hp + 1) * dh)
         sl2 = slice((hp + 1) * dh, (hp + 2) * dh)
         q1, q2 = q_ref[0, :, sl1], q_ref[0, :, sl2]
-        k1, k2 = k_ref[0, :, sl1], k_ref[0, :, sl2]
-        v1, v2 = v_ref[0, :, sl1], v_ref[0, :, sl2]
         g1, g2 = g_ref[0, :, sl1], g_ref[0, :, sl2]
-        z = jnp.zeros((lp, dh), k1.dtype)
         qp = jnp.concatenate([q1, q2], axis=-1)
         gp = jnp.concatenate([g1, g2], axis=-1)
-        seg1k = jnp.concatenate([k1, z], axis=-1)
-        seg2k = jnp.concatenate([z, k2], axis=-1)
-        seg1v = jnp.concatenate([v1, z], axis=-1)
-        seg2v = jnp.concatenate([z, v2], axis=-1)
-        if LG > lp:
-            zg = jnp.zeros((LG - lp, 2 * dh), k1.dtype)
-            kbd = jnp.concatenate([seg1k, zg, seg2k, zg], axis=0)
-            vbd = jnp.concatenate([seg1v, zg, seg2v, zg], axis=0)
-        else:
-            kbd = jnp.concatenate([seg1k, seg2k], axis=0)      # (2LG, 2dh)
-            vbd = jnp.concatenate([seg1v, seg2v], axis=0)
-        s = jax.lax.dot_general(
-            qp, kbd, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale        # (Lp, 2LG)
-        if bias_ref is not None:
-            b = bias_ref[0, 0].astype(jnp.float32)
-            if LG > lp:
-                b = jnp.pad(b, ((0, 0), (0, LG - lp)))
-            s = s + jnp.concatenate([b, b], axis=-1)
-        s = jnp.where(valid, s, NEG)
-        s1, s2 = s[:, :LG], s[:, LG:]
-        m1 = jnp.max(s1, axis=-1, keepdims=True)
-        m2 = jnp.max(s2, axis=-1, keepdims=True)
-        e1 = jnp.exp(s1 - m1)
-        e2 = jnp.exp(s2 - m2)
-        l1 = jnp.sum(e1, axis=-1, keepdims=True)
-        l2 = jnp.sum(e2, axis=-1, keepdims=True)
+        kbd = _bd_pack(k_ref[0, :, sl1], k_ref[0, :, sl2], lp, LG)
+        vbd = _bd_pack(v_ref[0, :, sl1], v_ref[0, :, sl2], lp, LG)
+        s = _bd_scores(qp, kbd, valid, scale, bias2)           # (Lp, 2LG)
+        e1, e2, l1, l2 = _bd_softmax(s, LG)
         p1 = e1 / jnp.maximum(l1, 1e-30)
         p2 = e2 / jnp.maximum(l2, 1e-30)
         if rate > 0.0:
@@ -559,7 +567,7 @@ def _bwd_packed_pair_kernel(q_ref, k_ref, v_ref, g_ref, bias_ref, seed_ref,
             pd2 = jnp.where(keep2, p2, 0.0) * inv
         else:
             pd1, pd2 = p1, p2
-        pdcat = jnp.concatenate([pd1, pd2], axis=-1).astype(v1.dtype)
+        pdcat = jnp.concatenate([pd1, pd2], axis=-1).astype(dt)
         dvbd = jax.lax.dot_general(
             pdcat, gp, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # (2LG, 2dh)

@@ -203,49 +203,28 @@ def _attn_pairbd_kernel(slab_ref, o_ref, *, num_heads: int, l_actual: int,
     (B=64, Lp=592): 4.43 vs 4.64 ms/block per-head, outputs bit-identical
     (benchmarks/ablate_attn2.py).  Gap rows (seg index in [l_actual, LG))
     are masked with NEG, so padding and the gap region never contribute."""
+    from .flash_attention import (_bd_pack, _bd_scores, _bd_softmax,
+                                  _bd_valid)
     qkv = slab_ref[0]
     H = o_ref.shape[-1]
     hd = H // num_heads
     scale = hd ** -0.5
     dt = qkv.dtype
     LG = _round_up(lp, 128)
-    z = jnp.zeros((lp, hd), dt)
-    kidx2 = jax.lax.broadcasted_iota(jnp.int32, (lp, 2 * LG), 1)
-    valid = (kidx2 % LG) < l_actual
+    valid = _bd_valid(lp, LG, l_actual)
     outs = []
     for h in range(0, num_heads, 2):
-        q1 = qkv[:, h * hd:(h + 1) * hd]
-        q2 = qkv[:, (h + 1) * hd:(h + 2) * hd]
-        k1 = qkv[:, H + h * hd:H + (h + 1) * hd]
-        k2 = qkv[:, H + (h + 1) * hd:H + (h + 2) * hd]
-        v1 = qkv[:, 2 * H + h * hd:2 * H + (h + 1) * hd]
-        v2 = qkv[:, 2 * H + (h + 1) * hd:2 * H + (h + 2) * hd]
-        qp = jnp.concatenate([q1, q2], axis=-1)                # (Lp, 2hd)
-        seg1 = jnp.concatenate([k1, z], axis=-1)
-        seg2 = jnp.concatenate([z, k2], axis=-1)
-        if LG > lp:
-            zgap = jnp.zeros((LG - lp, 2 * hd), dt)
-            kbd = jnp.concatenate([seg1, zgap, seg2, zgap], axis=0)
-        else:
-            kbd = jnp.concatenate([seg1, seg2], axis=0)        # (2LG, 2hd)
-        s = jax.lax.dot_general(qp, kbd, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = jnp.where(valid, s, NEG)                           # (Lp, 2LG)
-        s1, s2 = s[:, :LG], s[:, LG:]
-        m1 = jnp.max(s1, axis=-1, keepdims=True)
-        m2 = jnp.max(s2, axis=-1, keepdims=True)
-        p1 = jnp.exp(s1 - m1)
-        p2 = jnp.exp(s2 - m2)
-        l1 = jnp.sum(p1, axis=-1, keepdims=True)
-        l2 = jnp.sum(p2, axis=-1, keepdims=True)
+        qp = jnp.concatenate([qkv[:, h * hd:(h + 1) * hd],
+                              qkv[:, (h + 1) * hd:(h + 2) * hd]],
+                             axis=-1)                          # (Lp, 2hd)
+        kbd = _bd_pack(qkv[:, H + h * hd:H + (h + 1) * hd],
+                       qkv[:, H + (h + 1) * hd:H + (h + 2) * hd], lp, LG)
+        s = _bd_scores(qp, kbd, valid, scale)                  # (Lp, 2LG)
+        p1, p2, l1, l2 = _bd_softmax(s, LG)
         pcat = jnp.concatenate([p1, p2], axis=-1).astype(dt)
-        sv1 = jnp.concatenate([v1, z], axis=-1)
-        sv2 = jnp.concatenate([z, v2], axis=-1)
-        if LG > lp:
-            zgap = jnp.zeros((LG - lp, 2 * hd), dt)
-            vbd = jnp.concatenate([sv1, zgap, sv2, zgap], axis=0)
-        else:
-            vbd = jnp.concatenate([sv1, sv2], axis=0)
+        vbd = _bd_pack(qkv[:, 2 * H + h * hd:2 * H + (h + 1) * hd],
+                       qkv[:, 2 * H + (h + 1) * hd:2 * H + (h + 2) * hd],
+                       lp, LG)
         o = jnp.dot(pcat, vbd, preferred_element_type=jnp.float32)
         o1 = o[:, :hd] / jnp.maximum(l1, 1e-30)
         o2 = o[:, hd:] / jnp.maximum(l2, 1e-30)
@@ -565,54 +544,29 @@ def _bert_attn_pairbd_kernel(slab_ref, bias_ref, o_ref, *, num_heads: int,
     """Pair-blockdiagonal attention with additive (head-broadcast) bias —
     same packing as _attn_pairbd_kernel; the (Lp, Lp) bias tile is placed
     once into both LG segments of the (Lp, 2LG) score layout."""
+    from .flash_attention import (_bd_bias2, _bd_pack, _bd_scores,
+                                  _bd_softmax, _bd_valid)
     qkv = slab_ref[0]
     H = o_ref.shape[-1]
     hd = H // num_heads
     scale = hd ** -0.5
     dt = qkv.dtype
     LG = _round_up(lp, 128)
-    bias = bias_ref[0, 0].astype(jnp.float32)                  # (Lp, Lp)
-    if LG > lp:
-        bias = jnp.pad(bias, ((0, 0), (0, LG - lp)))
-    bias2 = jnp.concatenate([bias, bias], axis=-1)             # (Lp, 2LG)
-    z = jnp.zeros((lp, hd), dt)
-    kidx2 = jax.lax.broadcasted_iota(jnp.int32, (lp, 2 * LG), 1)
-    valid = (kidx2 % LG) < l_actual
+    bias2 = _bd_bias2(bias_ref[0, 0].astype(jnp.float32), lp, LG)
+    valid = _bd_valid(lp, LG, l_actual)
     outs = []
     for h in range(0, num_heads, 2):
-        q1 = qkv[:, h * hd:(h + 1) * hd]
-        q2 = qkv[:, (h + 1) * hd:(h + 2) * hd]
-        k1 = qkv[:, H + h * hd:H + (h + 1) * hd]
-        k2 = qkv[:, H + (h + 1) * hd:H + (h + 2) * hd]
-        v1 = qkv[:, 2 * H + h * hd:2 * H + (h + 1) * hd]
-        v2 = qkv[:, 2 * H + (h + 1) * hd:2 * H + (h + 2) * hd]
-        qp = jnp.concatenate([q1, q2], axis=-1)
-        seg1 = jnp.concatenate([k1, z], axis=-1)
-        seg2 = jnp.concatenate([z, k2], axis=-1)
-        if LG > lp:
-            zgap = jnp.zeros((LG - lp, 2 * hd), dt)
-            kbd = jnp.concatenate([seg1, zgap, seg2, zgap], axis=0)
-        else:
-            kbd = jnp.concatenate([seg1, seg2], axis=0)
-        s = jax.lax.dot_general(qp, kbd, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = s + bias2
-        s = jnp.where(valid, s, NEG)
-        s1, s2 = s[:, :LG], s[:, LG:]
-        m1 = jnp.max(s1, axis=-1, keepdims=True)
-        m2 = jnp.max(s2, axis=-1, keepdims=True)
-        p1 = jnp.exp(s1 - m1)
-        p2 = jnp.exp(s2 - m2)
-        l1 = jnp.sum(p1, axis=-1, keepdims=True)
-        l2 = jnp.sum(p2, axis=-1, keepdims=True)
+        qp = jnp.concatenate([qkv[:, h * hd:(h + 1) * hd],
+                              qkv[:, (h + 1) * hd:(h + 2) * hd]],
+                             axis=-1)
+        kbd = _bd_pack(qkv[:, H + h * hd:H + (h + 1) * hd],
+                       qkv[:, H + (h + 1) * hd:H + (h + 2) * hd], lp, LG)
+        s = _bd_scores(qp, kbd, valid, scale, bias2)
+        p1, p2, l1, l2 = _bd_softmax(s, LG)
         pcat = jnp.concatenate([p1, p2], axis=-1).astype(dt)
-        sv1 = jnp.concatenate([v1, z], axis=-1)
-        sv2 = jnp.concatenate([z, v2], axis=-1)
-        if LG > lp:
-            zgap = jnp.zeros((LG - lp, 2 * hd), dt)
-            vbd = jnp.concatenate([sv1, zgap, sv2, zgap], axis=0)
-        else:
-            vbd = jnp.concatenate([sv1, sv2], axis=0)
+        vbd = _bd_pack(qkv[:, 2 * H + h * hd:2 * H + (h + 1) * hd],
+                       qkv[:, 2 * H + (h + 1) * hd:2 * H + (h + 2) * hd],
+                       lp, LG)
         o = jnp.dot(pcat, vbd, preferred_element_type=jnp.float32)
         o1 = o[:, :hd] / jnp.maximum(l1, 1e-30)
         o2 = o[:, hd:] / jnp.maximum(l2, 1e-30)
