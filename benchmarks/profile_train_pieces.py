@@ -197,12 +197,13 @@ def main():
             biasp2 = jnp.pad(bias, ((0, 0), (0, 0), (0, Sp2 - S),
                                     (0, Sp2 - S)))
             seeds = jnp.asarray([3, 5], jnp.int32)
+            rate = float(sys.argv[3]) if len(sys.argv) > 3 else 0.1
 
             def berts(ls, x, b):
                 for layer in ls:
                     x = split_bert_layer_train(
                         layer, x, b, cfg.num_attention_heads,
-                        cfg.bert_layer_norm_eps, False, S, 0.1, 0.1,
+                        cfg.bert_layer_norm_eps, False, S, rate, rate,
                         seeds)
                 return x
 
