@@ -351,6 +351,12 @@ def patch_embed(p: Params, images: jnp.ndarray,
     else:
         B, ih, iw, _ = images.shape
         gh, gw = ih // ph, iw // pw
+        if ih != gh * ph or iw != gw * pw:
+            # conv-stride truncation semantics: a stride-p conv ignores
+            # the sub-patch tail (e.g. patch-14 models fed 64px inputs
+            # keep a 4x4 grid and drop 8 edge pixels), so the
+            # space-to-depth path must crop the same way
+            images = images[:, :gh * ph, :gw * pw]
         x = images.reshape(B, gh, ph, gw, pw, C).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(B, gh * gw, ph * pw * C)
     y = jnp.dot(x.astype(dt), w, preferred_element_type=dt)

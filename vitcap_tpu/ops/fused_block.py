@@ -879,13 +879,18 @@ def _split_block_train_fwd(x, p, num_heads, eps, interpret, L, Lp):
                          memory_space=pltpu.VMEM)
     cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-    slab = pl.pallas_call(
-        functools.partial(_qkv_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((B, Lp, 3 * H), dt),
+    stspec = pl.BlockSpec((1, Lp), lambda b: (b, 0),
+                          memory_space=pltpu.VMEM)
+    stshape = jax.ShapeDtypeStruct((B, Lp), jnp.float32)
+    slab, mu1, rs1 = pl.pallas_call(
+        functools.partial(_qkv_train_kernel, eps=eps),
+        out_shape=(jax.ShapeDtypeStruct((B, Lp, 3 * H), dt), stshape,
+                   stshape),
         grid=(B,),
         in_specs=[xspec, bspec(H), bspec(H), wspec((H, 3 * H)),
                   bspec(3 * H)],
-        out_specs=sspec, interpret=interpret, compiler_params=cp,
+        out_specs=(sspec, stspec, stspec), interpret=interpret,
+        compiler_params=cp,
     )(x, row(p["norm1"]["scale"]), row(p["norm1"]["bias"]),
       p["attn"]["qkv"]["kernel"].astype(dt), row(p["attn"]["qkv"]["bias"]))
 
@@ -902,23 +907,23 @@ def _split_block_train_fwd(x, p, num_heads, eps, interpret, L, Lp):
         grid=(B,), in_specs=[sspec], out_specs=xspec, interpret=interpret,
         compiler_params=cp)(slab)
 
-    out, y1, pre1 = pl.pallas_call(
-        functools.partial(_tail_train_kernel, eps=eps),
+    out, y1, pre1, mu2, rs2 = pl.pallas_call(
+        functools.partial(_tail_train_stats_kernel, eps=eps),
         out_shape=(jax.ShapeDtypeStruct((B, Lp, H), dt),
                    jax.ShapeDtypeStruct((B, Lp, H), dt),
-                   jax.ShapeDtypeStruct((B, Lp, I), dt)),
+                   jax.ShapeDtypeStruct((B, Lp, I), dt), stshape, stshape),
         grid=(B,),
         in_specs=[xspec, xspec, wspec((H, H)), bspec(H), bspec(H),
                   bspec(H), wspec((H, I)), bspec(I), wspec((I, H)),
                   bspec(H)],
-        out_specs=(xspec, xspec, ispec), interpret=interpret,
-        compiler_params=cp,
+        out_specs=(xspec, xspec, ispec, stspec, stspec),
+        interpret=interpret, compiler_params=cp,
     )(x, attn, p["attn"]["proj"]["kernel"].astype(dt),
       row(p["attn"]["proj"]["bias"]),
       row(p["norm2"]["scale"]), row(p["norm2"]["bias"]),
       p["mlp"]["fc1"]["kernel"].astype(dt), row(p["mlp"]["fc1"]["bias"]),
       p["mlp"]["fc2"]["kernel"].astype(dt), row(p["mlp"]["fc2"]["bias"]))
-    return out, (slab, attn, y1, pre1)
+    return out, (slab, attn, y1, pre1, (mu1, rs1), (mu2, rs2))
 
 
 def _ln_stats(x32, eps):
@@ -988,7 +993,7 @@ def _sbt_vjp_fwd(p_block, x, num_heads, ln_eps, interpret, l_actual):
 
 def _sbt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, res, g):
     from .flash_attention import flash_bwd_packed_slab
-    p, x, slab, attn, y1, pre1 = res
+    p, x, slab, attn, y1, pre1, st1, st2 = res
     B, Lp, H = x.shape
     L = l_actual or Lp
     dt = x.dtype
@@ -1016,8 +1021,10 @@ def _sbt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, res, g):
     dW2 = mm_w(h, g)
     db2 = jnp.sum(g.astype(f32), axis=(0, 1))
     dpre1 = (dh32 * _gelu_grad(pre1.astype(f32))).astype(dt)
-    # ln2 = LN(y1) * s2 + b2'
-    xhat2, rsig2 = _ln_stats(y1.astype(f32), ln_eps)
+    # ln2 = LN(y1) * s2 + b2' — xhat rebuilt from the kernel-saved stats
+    # (no reduction pass; see _tail_train_stats_kernel)
+    mu2, rsig2 = st2[0][..., None], st2[1][..., None]
+    xhat2 = (y1.astype(f32) - mu2) * rsig2
     ln2 = (xhat2 * p["norm2"]["scale"].astype(f32)
            + p["norm2"]["bias"].astype(f32)).astype(dt)
     dW1 = mm_w(ln2, dpre1)
@@ -1041,7 +1048,8 @@ def _sbt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, res, g):
                                        L if L < Lp else 0)
 
     # ---- qkv backward: slab = LN(x) * s1 + b1' ... @ Wqkv + bqkv
-    xhat1, rsig1 = _ln_stats(x.astype(f32), ln_eps)
+    mu1, rsig1 = st1[0][..., None], st1[1][..., None]
+    xhat1 = (x.astype(f32) - mu1) * rsig1
     ln1 = (xhat1 * p["norm1"]["scale"].astype(f32)
            + p["norm1"]["bias"].astype(f32)).astype(dt)
     dWqkv = jnp.concatenate(
@@ -1080,7 +1088,8 @@ split_vit_block_train.defvjp(_sbt_vjp_fwd, _sbt_vjp_bwd)
 def _bert_tail_train_kernel(x_ref, a_ref, wo_ref, bo_ref, ln1s_ref,
                             ln1b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
                             bfc2_ref, ln2s_ref, ln2b_ref, seed_ref,
-                            o_ref, r1_ref, y1_ref, pre1_ref, r2_ref, *,
+                            o_ref, r1_ref, y1_ref, pre1_ref, r2_ref,
+                            mu1_ref, rs1_ref, mu2_ref, rs2_ref, *,
                             eps: float, rate: float):
     """Post-norm BERT tail: out-dense -> hidden-dropout -> +x -> LN1 ->
     fc1+gelu -> fc2 -> hidden-dropout -> +LN1out -> LN2 (reference
@@ -1107,7 +1116,10 @@ def _bert_tail_train_kernel(x_ref, a_ref, wo_ref, bo_ref, ln1s_ref,
     xf = r1.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    ln = (xf - mean) * jax.lax.rsqrt(var + eps)
+    rsig = jax.lax.rsqrt(var + eps)
+    mu1_ref[0] = mean[:, 0]
+    rs1_ref[0] = rsig[:, 0]
+    ln = (xf - mean) * rsig
     y1 = (ln * ln1s_ref[0].astype(jnp.float32)
           + ln1b_ref[0].astype(jnp.float32)).astype(dt)
     y1_ref[0] = y1
@@ -1127,7 +1139,10 @@ def _bert_tail_train_kernel(x_ref, a_ref, wo_ref, bo_ref, ln1s_ref,
     xf = r2.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    ln = (xf - mean) * jax.lax.rsqrt(var + eps)
+    rsig = jax.lax.rsqrt(var + eps)
+    mu2_ref[0] = mean[:, 0]
+    rs2_ref[0] = rsig[:, 0]
+    ln = (xf - mean) * rsig
     o_ref[0] = (ln * ln2s_ref[0].astype(jnp.float32)
                 + ln2b_ref[0].astype(jnp.float32)).astype(dt)
 
@@ -1168,19 +1183,24 @@ def _split_bert_train_fwd(p, x, bias, num_heads, eps, interpret, L, Lp,
     sspec = pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM)
     cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     ao = p["attention"]["output"]
-    out, r1, y1, pre1, r2 = pl.pallas_call(
+    stspec = pl.BlockSpec((1, Lp), lambda b: (b, 0),
+                          memory_space=pltpu.VMEM)
+    stshape = jax.ShapeDtypeStruct((B, Lp), jnp.float32)
+    out, r1, y1, pre1, r2, mu1, rs1, mu2, rs2 = pl.pallas_call(
         functools.partial(_bert_tail_train_kernel, eps=eps,
                           rate=hidden_rate),
         out_shape=(jax.ShapeDtypeStruct((B, Lp, H), dt),
                    jax.ShapeDtypeStruct((B, Lp, H), dt),
                    jax.ShapeDtypeStruct((B, Lp, H), dt),
                    jax.ShapeDtypeStruct((B, Lp, I), dt),
-                   jax.ShapeDtypeStruct((B, Lp, H), dt)),
+                   jax.ShapeDtypeStruct((B, Lp, H), dt),
+                   stshape, stshape, stshape, stshape),
         grid=(B,),
         in_specs=[xspec, xspec, wspec((H, H)), bspec(H), bspec(H),
                   bspec(H), wspec((H, I)), bspec(I), wspec((I, H)),
                   bspec(H), bspec(H), bspec(H), sspec],
-        out_specs=(xspec, xspec, xspec, ispec, xspec),
+        out_specs=(xspec, xspec, xspec, ispec, xspec, stspec, stspec,
+                   stspec, stspec),
         interpret=interpret, compiler_params=cp,
     )(x, a, ao["dense"]["kernel"].astype(dt), row(ao["dense"]["bias"]),
       row(ao["LayerNorm"]["scale"]), row(ao["LayerNorm"]["bias"]),
@@ -1191,7 +1211,7 @@ def _split_bert_train_fwd(p, x, bias, num_heads, eps, interpret, L, Lp,
       row(p["output"]["LayerNorm"]["scale"]),
       row(p["output"]["LayerNorm"]["bias"]),
       jnp.reshape(seeds[1], (1,)).astype(jnp.int32))
-    return out, (slab, a, r1, y1, pre1, r2)
+    return out, (slab, a, r1, y1, pre1, r2, (mu1, rs1), (mu2, rs2))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
@@ -1235,7 +1255,7 @@ def _sblt_vjp_fwd(p_layer, x, bias, num_heads, ln_eps, interpret,
 def _sblt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, hidden_rate,
                   attn_rate, res, g):
     from .flash_attention import _dropout_keep, flash_bwd_packed_slab
-    p, x, bias, seeds, slab, a, r1, y1, pre1, r2 = res
+    p, x, bias, seeds, slab, a, r1, y1, pre1, r2, st1, st2 = res
     B, Lp, H = x.shape
     L = l_actual or Lp
     dt = x.dtype
@@ -1264,8 +1284,9 @@ def _sblt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, hidden_rate,
         return _dropout_keep(seed, img * 2 + which, hidden_rate,
                              ref_shape, dims=(1, 2))
 
-    # ---- LN2: out = LN(r2)*s2 + b2
-    xhat2, rsig2 = _ln_stats(r2.astype(f32), ln_eps)
+    # ---- LN2: out = LN(r2)*s2 + b2 — xhat from kernel-saved stats
+    mu2s, rsig2 = st2[0][..., None], st2[1][..., None]
+    xhat2 = (r2.astype(f32) - mu2s) * rsig2
     dr2, ds2, dbeta2 = _ln_bwd(g.astype(f32), xhat2, rsig2,
                                p["output"]["LayerNorm"]["scale"])
     du = dr2
@@ -1284,7 +1305,8 @@ def _sblt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, hidden_rate,
     dy1 = dy1 + mm(dpre1, wfc1.T)
 
     # ---- LN1: y1 = LN(r1)*s1 + b1
-    xhat1, rsig1 = _ln_stats(r1.astype(f32), ln_eps)
+    mu1s, rsig1 = st1[0][..., None], st1[1][..., None]
+    xhat1 = (r1.astype(f32) - mu1s) * rsig1
     dr1, ds1, dbeta1 = _ln_bwd(dy1, xhat1, rsig1, ao["LayerNorm"]["scale"])
     dt_ = dr1
     if hidden_rate > 0.0:
@@ -1333,3 +1355,56 @@ def _sblt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, hidden_rate,
 
 
 split_bert_layer_train.defvjp(_sblt_vjp_fwd, _sblt_vjp_bwd)
+
+
+# ---- LN-stat-carrying train kernel variants --------------------------------
+# XLA autodiff saves each LayerNorm's (mean, rsig) row stats; the analytic
+# backwards above recomputed them with an extra fused reduction pass over
+# every LN input (~2.4 ms/step at the flagship shape).  These variants
+# stream the stats out of the forward kernels ((B, Lp) f32 rows — ~170 KB
+# per stat, negligible DMA) so the backward's xhat is a pure elementwise
+# rebuild.
+
+def _qkv_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, o_ref,
+                      mu_ref, rs_ref, *, eps: float):
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rsig = jax.lax.rsqrt(var + eps)
+    mu_ref[0] = mean[:, 0]
+    rs_ref[0] = rsig[:, 0]
+    ln = (xf - mean) * rsig
+    ln = (ln * lns_ref[0].astype(jnp.float32)
+          + lnb_ref[0].astype(jnp.float32)).astype(x.dtype)
+    qkv = jnp.dot(ln, wqkv_ref[:],
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+    o_ref[0] = qkv + bqkv_ref[0].astype(x.dtype)
+
+
+def _tail_train_stats_kernel(x_ref, attn_ref, wproj_ref, bproj_ref,
+                             ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref,
+                             wfc2_ref, bfc2_ref, o_ref, y1_ref, pre1_ref,
+                             mu_ref, rs_ref, *, eps: float):
+    x = x_ref[0]
+    proj = jnp.dot(attn_ref[0], wproj_ref[:],
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    x = x + proj + bproj_ref[0].astype(x.dtype)
+    y1_ref[0] = x
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rsig = jax.lax.rsqrt(var + eps)
+    mu_ref[0] = mean[:, 0]
+    rs_ref[0] = rsig[:, 0]
+    ln = (xf - mean) * rsig
+    ln = (ln * ln2s_ref[0].astype(jnp.float32)
+          + ln2b_ref[0].astype(jnp.float32)).astype(x.dtype)
+    h = jnp.dot(ln, wfc1_ref[:],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    h = h + bfc1_ref[0].astype(x.dtype)
+    pre1_ref[0] = h
+    h = _gelu_exact(h)
+    y = jnp.dot(h, wfc2_ref[:],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    o_ref[0] = x + y + bfc2_ref[0].astype(x.dtype)
