@@ -879,9 +879,12 @@ def _split_block_train_fwd(x, p, num_heads, eps, interpret, L, Lp):
                          memory_space=pltpu.VMEM)
     cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-    stspec = pl.BlockSpec((1, Lp), lambda b: (b, 0),
+    # stat rows as (B, 1, Lp): Mosaic requires the last two block dims
+    # be full-array or (8, 128)-divisible; (1, 1, Lp) full-dim blocks
+    # satisfy that where (1, Lp) over (B, Lp) does not
+    stspec = pl.BlockSpec((1, 1, Lp), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
-    stshape = jax.ShapeDtypeStruct((B, Lp), jnp.float32)
+    stshape = jax.ShapeDtypeStruct((B, 1, Lp), jnp.float32)
     slab, mu1, rs1 = pl.pallas_call(
         functools.partial(_qkv_train_kernel, eps=eps),
         out_shape=(jax.ShapeDtypeStruct((B, Lp, 3 * H), dt), stshape,
@@ -1023,7 +1026,8 @@ def _sbt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, res, g):
     dpre1 = (dh32 * _gelu_grad(pre1.astype(f32))).astype(dt)
     # ln2 = LN(y1) * s2 + b2' — xhat rebuilt from the kernel-saved stats
     # (no reduction pass; see _tail_train_stats_kernel)
-    mu2, rsig2 = st2[0][..., None], st2[1][..., None]
+    mu2 = st2[0][:, 0, :, None]
+    rsig2 = st2[1][:, 0, :, None]
     xhat2 = (y1.astype(f32) - mu2) * rsig2
     ln2 = (xhat2 * p["norm2"]["scale"].astype(f32)
            + p["norm2"]["bias"].astype(f32)).astype(dt)
@@ -1048,7 +1052,8 @@ def _sbt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, res, g):
                                        L if L < Lp else 0)
 
     # ---- qkv backward: slab = LN(x) * s1 + b1' ... @ Wqkv + bqkv
-    mu1, rsig1 = st1[0][..., None], st1[1][..., None]
+    mu1 = st1[0][:, 0, :, None]
+    rsig1 = st1[1][:, 0, :, None]
     xhat1 = (x.astype(f32) - mu1) * rsig1
     ln1 = (xhat1 * p["norm1"]["scale"].astype(f32)
            + p["norm1"]["bias"].astype(f32)).astype(dt)
@@ -1117,8 +1122,8 @@ def _bert_tail_train_kernel(x_ref, a_ref, wo_ref, bo_ref, ln1s_ref,
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     rsig = jax.lax.rsqrt(var + eps)
-    mu1_ref[0] = mean[:, 0]
-    rs1_ref[0] = rsig[:, 0]
+    mu1_ref[0, 0] = mean[:, 0]
+    rs1_ref[0, 0] = rsig[:, 0]
     ln = (xf - mean) * rsig
     y1 = (ln * ln1s_ref[0].astype(jnp.float32)
           + ln1b_ref[0].astype(jnp.float32)).astype(dt)
@@ -1140,8 +1145,8 @@ def _bert_tail_train_kernel(x_ref, a_ref, wo_ref, bo_ref, ln1s_ref,
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     rsig = jax.lax.rsqrt(var + eps)
-    mu2_ref[0] = mean[:, 0]
-    rs2_ref[0] = rsig[:, 0]
+    mu2_ref[0, 0] = mean[:, 0]
+    rs2_ref[0, 0] = rsig[:, 0]
     ln = (xf - mean) * rsig
     o_ref[0] = (ln * ln2s_ref[0].astype(jnp.float32)
                 + ln2b_ref[0].astype(jnp.float32)).astype(dt)
@@ -1183,9 +1188,9 @@ def _split_bert_train_fwd(p, x, bias, num_heads, eps, interpret, L, Lp,
     sspec = pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM)
     cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     ao = p["attention"]["output"]
-    stspec = pl.BlockSpec((1, Lp), lambda b: (b, 0),
+    stspec = pl.BlockSpec((1, 1, Lp), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
-    stshape = jax.ShapeDtypeStruct((B, Lp), jnp.float32)
+    stshape = jax.ShapeDtypeStruct((B, 1, Lp), jnp.float32)
     out, r1, y1, pre1, r2, mu1, rs1, mu2, rs2 = pl.pallas_call(
         functools.partial(_bert_tail_train_kernel, eps=eps,
                           rate=hidden_rate),
@@ -1285,7 +1290,8 @@ def _sblt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, hidden_rate,
                              ref_shape, dims=(1, 2))
 
     # ---- LN2: out = LN(r2)*s2 + b2 — xhat from kernel-saved stats
-    mu2s, rsig2 = st2[0][..., None], st2[1][..., None]
+    mu2s = st2[0][:, 0, :, None]
+    rsig2 = st2[1][:, 0, :, None]
     xhat2 = (r2.astype(f32) - mu2s) * rsig2
     dr2, ds2, dbeta2 = _ln_bwd(g.astype(f32), xhat2, rsig2,
                                p["output"]["LayerNorm"]["scale"])
@@ -1305,7 +1311,8 @@ def _sblt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, hidden_rate,
     dy1 = dy1 + mm(dpre1, wfc1.T)
 
     # ---- LN1: y1 = LN(r1)*s1 + b1
-    mu1s, rsig1 = st1[0][..., None], st1[1][..., None]
+    mu1s = st1[0][:, 0, :, None]
+    rsig1 = st1[1][:, 0, :, None]
     xhat1 = (r1.astype(f32) - mu1s) * rsig1
     dr1, ds1, dbeta1 = _ln_bwd(dy1, xhat1, rsig1, ao["LayerNorm"]["scale"])
     dt_ = dr1
@@ -1372,8 +1379,8 @@ def _qkv_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, o_ref,
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     rsig = jax.lax.rsqrt(var + eps)
-    mu_ref[0] = mean[:, 0]
-    rs_ref[0] = rsig[:, 0]
+    mu_ref[0, 0] = mean[:, 0]
+    rs_ref[0, 0] = rsig[:, 0]
     ln = (xf - mean) * rsig
     ln = (ln * lns_ref[0].astype(jnp.float32)
           + lnb_ref[0].astype(jnp.float32)).astype(x.dtype)
@@ -1395,8 +1402,8 @@ def _tail_train_stats_kernel(x_ref, attn_ref, wproj_ref, bproj_ref,
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     rsig = jax.lax.rsqrt(var + eps)
-    mu_ref[0] = mean[:, 0]
-    rs_ref[0] = rsig[:, 0]
+    mu_ref[0, 0] = mean[:, 0]
+    rs_ref[0, 0] = rsig[:, 0]
     ln = (xf - mean) * rsig
     ln = (ln * ln2s_ref[0].astype(jnp.float32)
           + ln2b_ref[0].astype(jnp.float32)).astype(x.dtype)
