@@ -1035,13 +1035,15 @@ def _sbt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, res, g):
     db1 = jnp.sum(dpre1.astype(f32), axis=(0, 1))
     dln2 = mm(dpre1, wfc1.T)
     dy1_ln, ds2, dbeta2 = _ln_bwd(dln2, xhat2, rsig2, p["norm2"]["scale"])
-    dy1 = g.astype(f32) + dy1_ln                      # residual + LN path
+    # residual + LN path; inter-op cotangents travel in compute dtype
+    # (the f32 chain cost ~2 ms/step of extra HBM; XLA autodiff's own
+    # cotangents are bf16 with f32 dot accumulation, same as this)
+    dy1_lp = (g.astype(f32) + dy1_ln).astype(dt)
 
     # ---- proj backward: y1 = x + attn @ Wproj + bp
-    dy1_lp = dy1.astype(dt)
     dattn = mm(dy1_lp, wproj.T).astype(dt)
     dWproj = mm_w(attn, dy1_lp)
-    dbproj = jnp.sum(dy1, axis=(0, 1))
+    dbproj = jnp.sum(dy1_lp.astype(f32), axis=(0, 1))
 
     # ---- attention backward: slab-layout one-pass Pallas pair kernel —
     # reads the (B,Lp,3H) slab via column-offset index maps (no q/k/v
@@ -1066,7 +1068,7 @@ def _sbt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, res, g):
     dln1 = (mm(dq, wqkv[:, :H].T) + mm(dk, wqkv[:, H:2 * H].T)
             + mm(dv, wqkv[:, 2 * H:].T))
     dx_ln, ds1, dbeta1 = _ln_bwd(dln1, xhat1, rsig1, p["norm1"]["scale"])
-    dx = (dy1 + dx_ln).astype(dt)
+    dx = (dy1_lp.astype(f32) + dx_ln).astype(dt)
 
     dp = {
         "norm1": {"scale": ds1, "bias": dbeta1},
@@ -1295,12 +1297,13 @@ def _sblt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, hidden_rate,
     xhat2 = (r2.astype(f32) - mu2s) * rsig2
     dr2, ds2, dbeta2 = _ln_bwd(g.astype(f32), xhat2, rsig2,
                                p["output"]["LayerNorm"]["scale"])
+    # inter-op cotangents travel in compute dtype (see the ViT backward)
+    dr2 = dr2.astype(dt)
     du = dr2
     if hidden_rate > 0.0:
         keep2 = hmask(1, du.shape)
-        du = jnp.where(keep2, du, 0.0) * (1.0 / (1.0 - hidden_rate))
-    du = du.astype(dt)
-    dy1 = dr2                                          # residual path
+        du = (jnp.where(keep2, du, 0.0)
+              * jnp.asarray(1.0 / (1.0 - hidden_rate), dt))
     h = _gelu_exact(pre1)
     dW2 = mm_w(h, du)
     db2 = jnp.sum(du.astype(f32), axis=(0, 1))
@@ -1308,18 +1311,20 @@ def _sblt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, hidden_rate,
     dpre1 = (dh * _gelu_grad(pre1.astype(f32))).astype(dt)
     dW1 = mm_w(y1, dpre1)
     db1 = jnp.sum(dpre1.astype(f32), axis=(0, 1))
-    dy1 = dy1 + mm(dpre1, wfc1.T)
+    dy1 = (dr2.astype(f32) + mm(dpre1, wfc1.T)).astype(dt)
 
     # ---- LN1: y1 = LN(r1)*s1 + b1
     mu1s = st1[0][:, 0, :, None]
     rsig1 = st1[1][:, 0, :, None]
     xhat1 = (r1.astype(f32) - mu1s) * rsig1
-    dr1, ds1, dbeta1 = _ln_bwd(dy1, xhat1, rsig1, ao["LayerNorm"]["scale"])
+    dr1, ds1, dbeta1 = _ln_bwd(dy1.astype(f32), xhat1, rsig1,
+                               ao["LayerNorm"]["scale"])
+    dr1 = dr1.astype(dt)
     dt_ = dr1
     if hidden_rate > 0.0:
         keep1 = hmask(0, dt_.shape)
-        dt_ = jnp.where(keep1, dt_, 0.0) * (1.0 / (1.0 - hidden_rate))
-    dt_ = dt_.astype(dt)
+        dt_ = (jnp.where(keep1, dt_, 0.0)
+               * jnp.asarray(1.0 / (1.0 - hidden_rate), dt))
     dx = dr1                                           # residual path
     da = mm(dt_, wo.T).astype(dt)
     dWo = mm_w(a, dt_)
@@ -1335,7 +1340,8 @@ def _sblt_vjp_bwd(num_heads, ln_eps, interpret, l_actual, hidden_rate,
     dbq = jnp.sum(dq.astype(f32), axis=(0, 1))
     dbk = jnp.sum(dk.astype(f32), axis=(0, 1))
     dbv = jnp.sum(dv.astype(f32), axis=(0, 1))
-    dx = (dx + mm(dq, wqkv[:, :H].T) + mm(dk, wqkv[:, H:2 * H].T)
+    dx = (dx.astype(f32) + mm(dq, wqkv[:, :H].T)
+          + mm(dk, wqkv[:, H:2 * H].T)
           + mm(dv, wqkv[:, 2 * H:].T)).astype(dt)
 
     dp = {
